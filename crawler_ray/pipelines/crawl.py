@@ -1,0 +1,354 @@
+"""Wave-synchronous distributed crawl engine on Ray Data.
+
+Architecture (SURVEY.md §7):
+
+    frontier shards (actors, host-hash-partitioned)
+        │ plan_wave()            ← FIFO + KB dequeue filters + politeness
+        ▼
+    wave Dataset  = from_arrow(control rows, pre-split into blocks)
+        → map_batches(Fetcher, actor pool, web broadcast via ray.put)
+        → map_batches(parse_batch)              stateless tasks
+        → map_batches(AttachmentEnricher, pool) spans + content hash
+        → [map_batches(FeedbackScorer, pool)]   optional KB feedback
+        → materialize()                          (bounded: one wave)
+        ├─ write_parquet(output/wave=K)          resumable page sink
+        └─ control columns → ingest_results()    ordered enqueue
+
+Determinism: every wave row carries ``(site, dispatch_index)``; results
+are re-sorted to dispatch order before ``ingest_results``, so frontier
+evolution is bit-for-bit the reference BFS order regardless of task
+scheduling (SURVEY.md §3.4).  Within-wave parallelism is the only
+parallelism the ordering contract allows across one site; throughput
+scaling comes from many hosts per wave.
+
+Scale notes: the wave is the unit of memory (politeness-budgeted);
+pages stream to partitioned parquet per wave (Lance when available);
+the synthetic web is broadcast once (``ray.put``) and read per actor.
+Checkpoint = per-shard state blob + manifest, written atomically per
+wave; resume skips completed waves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from crawler_ray.functions.spans import has_media_failure, render_main_text
+from crawler_ray.stages.fetch import CrawlWaveStage
+from crawler_ray.stages.scoring import mock_analyze, mock_gate
+from crawler_ray.functions.textops import is_low_quality_text
+from crawler_ray.state.frontier import CrawlProfile, FrontierShard, shard_of
+
+
+class _RobotsFetch:
+    """Picklable robots.txt fetcher over the (synthetic) web."""
+
+    def __init__(self, web):
+        self.web = web
+
+    def __call__(self, robots_url: str) -> str | None:
+        status, _ctype, body = self.web.fetch(robots_url)
+        return body if status == 200 else None
+
+
+class FeedbackScorer:
+    """Actor-pool stage computing the worker's KB feedback score per
+    page (mock LLM; -1 = parse-failure feedback)."""
+
+    def __init__(self, prompts_by_site: dict[str, str]):
+        self.prompts = prompts_by_site
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"].to_pylist()
+        urls = batch["url"].to_pylist()
+        sites = batch["site"].to_pylist()
+        oks = batch["ok"].to_pylist()
+        scores = []
+        for ok, url, site, spans in zip(oks, urls, sites, spans_col):
+            if not ok or not spans:
+                scores.append(None)
+                continue
+            prompt = self.prompts.get(site, "")
+            if has_media_failure(spans):
+                scores.append(-1.0)
+                continue
+            text = render_main_text(spans)
+            if is_low_quality_text(text) or not mock_gate(text, prompt):
+                scores.append(0.0)
+            else:
+                scores.append(mock_analyze(text, url, prompt)["relevance_score"])
+        return batch.append_column("fb_score", pa.array(scores, type=pa.float64()))
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        web,
+        seeds: list[dict],
+        num_shards: int = 2,
+        profile: str = "hp",
+        route_attachments: bool = True,
+        robots_enabled: bool = False,
+        feedback: bool = False,
+        output_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+        fetch_concurrency: int = 4,
+        fetch_batch_size: int = 64,
+        wave_horizon: float = 0.0,
+        bloom_capacity: int = 1 << 17,
+    ):
+        self.web = web
+        self.seeds = seeds
+        self.num_shards = num_shards
+        self.profile_state = (
+            CrawlProfile.fast() if profile == "fast" else CrawlProfile.hp()
+        ).state()
+        self.route_attachments = route_attachments
+        self.link_cap = 50 if profile == "fast" else None
+        self.feedback = feedback
+        self.prompts = {
+            s["site_identifier"]: s.get("instruction_prompt", "") for s in seeds
+        }
+        self.output_dir = output_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.fetch_concurrency = fetch_concurrency
+        self.fetch_batch_size = fetch_batch_size
+        self.wave_horizon = wave_horizon
+        self.metrics: list[dict] = []
+        self.wave = 0
+        self.totals = {"dispatched": 0, "saved": 0, "filtered": 0}
+
+        self.shards = [
+            FrontierShard.remote(
+                shard_id=i,
+                bloom_capacity=bloom_capacity,
+                robots_enabled=robots_enabled,
+                robots_fetch=_RobotsFetch(web) if robots_enabled else None,
+            )
+            for i in range(num_shards)
+        ]
+        self._site_shard: dict[str, int] = {}
+        for seed in seeds:
+            host = seed["base_url"].split("/")[2]
+            idx = shard_of(host, num_shards)
+            self._site_shard[seed["site_identifier"]] = idx
+            ray.get(
+                self.shards[idx].add_site.remote(seed, self.profile_state)
+            )
+
+    # ------------------------------------------------------------------
+    def _wave_dataset(self, rows: list[dict]):
+        table = pa.table(
+            {
+                "site": pa.array([r["site"] for r in rows], type=pa.string()),
+                "url": pa.array([r["url"] for r in rows], type=pa.string()),
+                "base_url": pa.array([r["base_url"] for r in rows], type=pa.string()),
+                "dispatch_index": pa.array(
+                    [r["dispatch_index"] for r in rows], type=pa.int64()
+                ),
+                "wave": pa.array([self.wave] * len(rows), type=pa.int32()),
+            }
+        )
+        # pre-split into blocks so fetch/parse parallelize across the pool
+        n = table.num_rows
+        chunk = max(1, min(self.fetch_batch_size, (n + self.fetch_concurrency - 1) // self.fetch_concurrency))
+        tables = [table.slice(i, chunk) for i in range(0, n, chunk)]
+        return ray.data.from_arrow(tables)
+
+    def run_wave(self, web_ref) -> bool:
+        """Plan + execute one wave; False when the crawl is complete."""
+        t0 = time.perf_counter()
+        plans = ray.get(
+            [s.plan_wave.remote(self.wave_horizon) for s in self.shards]
+        )
+        rows = [r for plan in plans for r in plan]
+        if not rows:
+            return False
+
+        ds = self._wave_dataset(rows)
+        ds = ds.map_batches(
+            CrawlWaveStage,
+            fn_constructor_args=(web_ref, self.route_attachments, self.link_cap),
+            concurrency=self.fetch_concurrency,
+            batch_size=self.fetch_batch_size,
+            batch_format="pyarrow",
+            num_cpus=1,
+        )
+        if self.feedback:
+            ds = ds.map_batches(
+                FeedbackScorer,
+                fn_constructor_args=(self.prompts,),
+                concurrency=self.fetch_concurrency,
+                batch_size=self.fetch_batch_size,
+                batch_format="pyarrow",
+                num_cpus=1,
+            )
+        mat = ds.materialize()
+
+        if self.output_dir:
+            # hive-style wave=K partition dirs (the dir name carries the
+            # wave column; a resumed run skips completed partitions)
+            wave_dir = os.path.join(self.output_dir, f"wave={self.wave:05d}")
+            mat.drop_columns(["page_links", "wave"]).write_parquet(wave_dir)
+
+        ctrl_cols = ["site", "url", "dispatch_index", "ok", "content_sha256", "page_links"]
+        if self.feedback:
+            ctrl_cols.append("fb_score")
+        ctrl = mat.select_columns(ctrl_cols).take_all()
+
+        # group by site in dispatch order
+        by_site: dict[str, list[dict]] = {}
+        for r in sorted(ctrl, key=lambda r: (r["site"], r["dispatch_index"])):
+            by_site.setdefault(r["site"], []).append(r)
+
+        ingest_futures = {}
+        for site, results in by_site.items():
+            shard = self.shards[self._site_shard[site]]
+            payload = [
+                {
+                    "url": r["url"],
+                    "ok": bool(r["ok"]),
+                    "content_sha256": r["content_sha256"],
+                    "links": [l["url"] for l in (r["page_links"] or [])],
+                }
+                for r in results
+            ]
+            ingest_futures[site] = shard.ingest_results.remote(site, payload)
+
+        saved_by_site = {}
+        n_saved = 0
+        for site, fut in ingest_futures.items():
+            out = ray.get(fut)
+            saved_by_site[site] = set(out["saved"])
+            n_saved += len(out["saved"])
+
+        if self.feedback:
+            fb_futures = []
+            for site, results in by_site.items():
+                shard = self.shards[self._site_shard[site]]
+                scores, failures = [], []
+                for r in results:
+                    if r["url"] not in saved_by_site[site]:
+                        continue
+                    s = r.get("fb_score")
+                    if s is None:
+                        continue
+                    if s < 0:
+                        failures.append(r["url"])
+                    else:
+                        scores.append((r["url"], s))
+                if scores or failures:
+                    fb_futures.append(shard.kb_update.remote(site, scores, failures))
+            if fb_futures:
+                ray.get(fb_futures)
+
+        if self.checkpoint_dir:
+            self._checkpoint()
+
+        n_ok = sum(1 for r in ctrl if r["ok"])
+        self.totals["dispatched"] += len(rows)
+        self.totals["saved"] += n_saved
+        self.totals["filtered"] += len(rows) - n_ok
+        self.metrics.append(
+            {
+                "wave": self.wave,
+                "partition": -1,
+                "fetched": len(rows),
+                "parsed": n_ok,
+                "filtered": len(rows) - n_ok,
+                "accepted": n_saved,
+                "wall_s": time.perf_counter() - t0,
+            }
+        )
+        self.wave += 1
+        return True
+
+    def run(self, max_waves: int | None = None) -> dict:
+        web_ref = ray.put(self.web)
+        while max_waves is None or self.wave < max_waves:
+            if not self.run_wave(web_ref):
+                break
+        if self.output_dir and self.metrics:
+            # sibling of the page table (keeps the hive dir homogeneous)
+            pq.write_table(
+                pa.Table.from_pylist(self.metrics),
+                self.output_dir.rstrip("/") + "_metrics.parquet",
+            )
+        return {"waves": self.wave, **self.totals}
+
+    # -- conformance probes -------------------------------------------
+    def url_seen(self, site: str) -> list[str]:
+        shard = self.shards[self._site_shard[site]]
+        return ray.get(shard.url_seen.remote(site))
+
+    def kb_table(self) -> list[dict]:
+        rows = []
+        for s in self.shards:
+            rows.extend(ray.get(s.kb_table.remote()))
+        return rows
+
+    def ledger_table(self) -> list[dict]:
+        rows = []
+        for s in self.shards:
+            rows.extend(ray.get(s.ledger_table.remote()))
+        return rows
+
+    # -- checkpoint / resume -------------------------------------------
+    def _checkpoint(self) -> None:
+        blobs = ray.get([s.checkpoint_blob.remote() for s in self.shards])
+        tmp = os.path.join(self.checkpoint_dir, f".tmp_wave_{self.wave:05d}")
+        final = os.path.join(self.checkpoint_dir, f"wave_{self.wave:05d}")
+        os.makedirs(tmp, exist_ok=True)
+        for i, blob in enumerate(blobs):
+            with open(os.path.join(tmp, f"shard_{i}.pkl"), "wb") as f:
+                f.write(blob)
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "wave": self.wave,
+                    "num_shards": self.num_shards,
+                    "totals": self.totals,
+                },
+                f,
+            )
+        os.replace(tmp, final)
+
+    @staticmethod
+    def latest_checkpoint(checkpoint_dir: str) -> str | None:
+        if not os.path.isdir(checkpoint_dir):
+            return None
+        waves = sorted(
+            d
+            for d in os.listdir(checkpoint_dir)
+            if d.startswith("wave_")
+            and os.path.exists(os.path.join(checkpoint_dir, d, "manifest.json"))
+        )
+        return os.path.join(checkpoint_dir, waves[-1]) if waves else None
+
+    def restore(self, ckpt_path: str) -> int:
+        """Restore shard states from a checkpoint; returns next wave."""
+        with open(os.path.join(ckpt_path, "manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["num_shards"] == self.num_shards
+        futures = []
+        for i, shard in enumerate(self.shards):
+            with open(os.path.join(ckpt_path, f"shard_{i}.pkl"), "rb") as f:
+                futures.append(shard.restore_blob.remote(f.read()))
+        ray.get(futures)
+        self.wave = manifest["wave"] + 1
+        self.totals = dict(manifest["totals"])
+        # drop any page output from waves after the checkpoint
+        if self.output_dir and os.path.isdir(self.output_dir):
+            for d in os.listdir(self.output_dir):
+                if d.startswith("wave=") and int(d.split("=")[1]) > manifest["wave"]:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(self.output_dir, d))
+        return self.wave

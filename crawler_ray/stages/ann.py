@@ -1,0 +1,138 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one numpy matmul and keeps a per-batch
+partial top-k, and a final tiny merge takes the global top-k (classic
+partial-aggregate shape: the shuffle carries k rows per block, not the
+corpus).
+
+Scale path: IVF — k-means-ish centroids (sampled, seeded) assign each
+vector to a coarse cell; queries probe the ``nprobe`` nearest cells
+only.  Both return identical schemas so callers can swap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float32) for v in col])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k against broadcast
+    queries.  Emits (query_id, vec_id, cosine) partials."""
+
+    def __init__(self, queries_ref, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = np.asarray(q["query_id"])
+        self.qmat = _normalize(_as_matrix(q["embedding"]))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        mat = _normalize(_as_matrix(batch[self.vec_col].to_pylist()))
+        sims = self.qmat @ mat.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in top[qi]:
+                out_q.append(self.qids[qi])
+                out_v.append(ids[j])
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                self.id_col: pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: dict,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Global top-k per query: distributed partials + tiny driver merge.
+    ``queries`` = {"query_id": [...], "embedding": [[...], ...]}."""
+    qref = ray.put(queries)
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(qref, k, vec_col, id_col),
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+    pdf = partials.to_pandas()  # ≤ k rows per (query, block) — small
+    pdf = pdf.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True]
+    )
+    return pdf.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ IVF
+def train_centroids(
+    ds: Dataset, dim: int, n_cells: int = 16, sample: int = 2048,
+    iters: int = 10, seed: int = 42, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Mini k-means on a seeded sample (driver-side — the sample is
+    small; at 100 TB this is the standard IVF train-on-sample step)."""
+    rows = ds.select_columns([vec_col]).limit(sample).take_all()
+    mat = _normalize(_as_matrix([r[vec_col] for r in rows]))
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: dict,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF ANN: assign vectors to cells once, search only the nprobe
+    closest cells per query."""
+    cents = train_centroids(ds, dim, n_cells=n_cells, vec_col=vec_col)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        mat = _normalize(_as_matrix(batch[vec_col].to_pylist()))
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell, type=pa.int64()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    qmat = _normalize(_as_matrix(queries["embedding"]))
+    probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+    # prune: only blocks of probed cells are scanned
+    sub = assigned.filter(expr=f"cell in {wanted}")
+    return brute_force_topk(sub, queries, k=k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,358 @@
+"""Deduplication operators over a documents Dataset.
+
+The reference's dedup is exact-only (URL first-seen + sha256 ledger —
+SURVEY.md §2.5/§2.7); the approximate family (MinHash-LSH, SimHash,
+n-gram Jaccard, embedding cosine) are the scale additions a 100 TB
+training-data pipeline needs.
+
+Design notes (scale):
+- exact dedup: vectorized hash column inside ``map_batches`` → *partial*
+  first-per-key inside each batch → one small ``groupby(hash)`` over
+  the survivors (classic combiner: the shuffle moves at most one row
+  per (hash, block), not every row).
+- MinHash-LSH: signatures per batch (actor pool — hasher built once) →
+  explode to (band_key, doc_id) rows → ``groupby(band_key)`` emits
+  candidate pairs → exact-Jaccard verify → connected components by
+  iterated min-label propagation (a groupby per round, no driver-side
+  union-find over the full data).
+- embedding near-dup: cosine over L2-normalized vectors; bucketed by
+  random-hyperplane LSH so comparisons stay within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from crawler_ray.functions.hashing import (
+    MinHasher,
+    content_md5,
+    jaccard,
+    shingle_hashes,
+    simhash64,
+)
+
+
+# ---------------------------------------------------------------- exact
+def add_content_hash(ds: Dataset, text_col: str = "text", algo: str = "md5") -> Dataset:
+    import hashlib
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        fn = hashlib.md5 if algo == "md5" else hashlib.sha256
+        hashes = [
+            fn((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+
+    return ds.map_batches(_hash, batch_format="pyarrow")
+
+
+def exact_dedup_first(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Keep the first (min id) row per content hash.
+
+    Two-phase: per-batch partial min (combiner) → global groupby over
+    the tiny partial table → broadcast-free semi-join by re-reading?
+    No — we keep it single-pass: group full rows by hash, keep min-id
+    row per group (rows-per-group is tiny: only duplicates collide).
+    """
+    hashed = add_content_hash(ds, text_col)
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(
+        first_per_group, batch_format="pandas"
+    )
+
+
+def duplicate_hash_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Per-hash (n_docs, first_doc_id) — the combiner-style aggregate
+    (partial min/count per batch would pre-shrink this at scale)."""
+    hashed = add_content_hash(ds, text_col)
+    return hashed.groupby("content_hash").aggregate(
+        Count(alias_name="n_docs"), Min(id_col, alias_name="first_doc_id")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+class MinHashStage:
+    """Actor-pool stage: text → minhash signature + LSH band keys.
+    Hasher coefficients are built once per actor (seeded)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        num_perm: int = 128,
+        num_bands: int = 16,
+        shingle_n: int = 3,
+        seed: int = 42,
+    ):
+        self.text_col = text_col
+        self.hasher = MinHasher(num_perm=num_perm, seed=seed)
+        self.num_bands = num_bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs, bands = [], []
+        for t in batch[self.text_col].to_pylist():
+            sh = shingle_hashes(t or "", n=self.shingle_n)
+            sig = self.hasher.signature(sh)
+            sigs.append(sig.tolist())
+            bands.append(self.hasher.band_keys(sig, self.num_bands))
+        return batch.append_column(
+            "minhash", pa.array(sigs, type=pa.list_(pa.uint64()))
+        ).append_column("band_keys", pa.array(bands, type=pa.list_(pa.string())))
+
+
+def minhash_candidate_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+) -> Dataset:
+    """LSH candidate pairs (id_a < id_b), deduped across bands."""
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "num_perm": num_perm,
+            "num_bands": num_bands,
+            "shingle_n": shingle_n,
+        },
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for i, bks in zip(batch[id_col].to_pylist(), batch["band_keys"].to_pylist()):
+            for bk in bks:
+                ids.append(i)
+                keys.append(bk)
+        return pa.table({"band_key": pa.array(keys), id_col: pa.array(ids)})
+
+    exploded = sigs.select_columns([id_col, "band_keys"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        members = sorted(g[id_col].tolist())
+        out_a, out_b = [], []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                out_a.append(members[i])
+                out_b.append(members[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    pairs = exploded.groupby("band_key").map_groups(
+        pairs_of_bucket, batch_format="pandas"
+    )
+    # dedup pairs found in multiple bands (shuffle on the pair key)
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["id_a"], pa.string()),
+            pc.cast(batch["id_b"], pa.string()),
+            "|",
+        )
+        return batch.append_column("pair_key", key)
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("pair_key")
+        .map_groups(first_pair, batch_format="pandas")
+        .drop_columns(["pair_key"])
+    )
+
+
+def verify_jaccard_pairs(
+    pairs: Dataset,
+    docs_by_id: dict,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> Dataset:
+    """Exact-Jaccard verification of candidate pairs.  ``docs_by_id`` is
+    a broadcast small-side lookup (ray.put upstream) — at 100 TB this
+    becomes a hash-join of pairs against the docs table on id; the
+    verify math is unchanged."""
+    import ray as _ray
+
+    def verify(batch: pa.Table) -> pa.Table:
+        docs = _ray.get(docs_by_id) if isinstance(docs_by_id, _ray.ObjectRef) else docs_by_id
+        ja = []
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            sa = shingle_hashes(docs.get(a, ""), n=shingle_n)
+            sb = shingle_hashes(docs.get(b, ""), n=shingle_n)
+            ja.append(jaccard(sa, sb))
+        out = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def connected_components(pairs: Dataset, max_rounds: int = 10) -> Dataset:
+    """Min-label propagation over the dup-pair edge list: returns
+    (doc_id, component) where component = min doc id of the cluster.
+    Each round is one groupby — no driver-side union-find."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"]
+        b = batch["id_b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "peer": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    ).materialize()
+
+    # labels: node -> min(node, peers)
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].iloc[0]
+        lab = min(int(g["label"].min()), int(node))
+        return pd.DataFrame({"node": [node], "label": [lab]})
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["peer"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .map_groups(min_label, batch_format="pandas")
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # propagate: join labels onto edges via broadcast (components are
+        # about duplicate clusters — small relative to the corpus)
+        label_map = {r["node"]: r["label"] for r in labels.take_all()}
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            nodes = batch["node"].to_pylist()
+            peers = batch["peer"].to_pylist()
+            lab = [
+                min(label_map.get(n, n), label_map.get(p, p))
+                for n, p in zip(nodes, peers)
+            ]
+            return pa.table({"node": pa.array(nodes), "label": pa.array(lab)})
+
+        new_labels = (
+            edges.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(min_label, batch_format="pandas")
+            .materialize()
+        )
+        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
+        labels = new_labels
+        if new_map == label_map:
+            break
+    return labels
+
+
+# ------------------------------------------------------------- SimHash
+class SimHashStage:
+    def __init__(self, text_col: str = "text", hamming_threshold: int = 3):
+        self.text_col = text_col
+        self.threshold = hamming_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sims = [simhash64(t or "") for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("simhash", pa.array(sims, type=pa.uint64()))
+
+
+def simhash_dedup_keys(ds: Dataset, text_col: str = "text", prefix_bits: int = 16) -> Dataset:
+    """SimHash + block key (top ``prefix_bits`` bits): near-dup
+    candidates share a block — the groupby key for banding 64-bit
+    simhashes (rotation-banding generalizes this)."""
+    sims = ds.map_batches(
+        SimHashStage, fn_constructor_kwargs={"text_col": text_col},
+        concurrency=2, batch_format="pyarrow",
+    )
+
+    def block(batch: pa.Table) -> pa.Table:
+        arr = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (arr >> np.uint64(64 - prefix_bits)).astype(np.uint64)
+        return batch.append_column("simhash_block", pa.array(key, type=pa.uint64()))
+
+    return sims.map_batches(block, batch_format="pyarrow")
+
+
+# -------------------------------------------------- embedding near-dup
+class CosineDupStage:
+    """Bucketed embedding near-dup: rows arrive grouped by LSH bucket
+    (random hyperplane signs); emits intra-bucket pairs with cosine ≥
+    threshold.  Used via groupby(bucket).map_groups."""
+
+    def __init__(self, threshold: float = 0.95):
+        self.threshold = threshold
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy())
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= self.threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                "cosine": sims[ia[keep], ib[keep]],
+            }
+        )
+
+
+def add_hyperplane_bucket(
+    ds: Dataset, dim: int, n_planes: int = 8, seed: int = 42,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Random-hyperplane LSH bucket id per row (vectorized matmul)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]
+        )
+        signs = (mat @ planes) > 0
+        key = np.packbits(signs, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        if n_planes > 8:
+            packed = np.packbits(signs, axis=1, bitorder="little")
+            key = packed @ (256 ** np.arange(packed.shape[1], dtype=np.int64))
+        return batch.append_column("bucket", pa.array(key, type=pa.int64()))
+
+    return ds.map_batches(bucket, batch_format="pyarrow")
+
+
+def embedding_near_dups(
+    ds: Dataset, dim: int, threshold: float = 0.95, n_planes: int = 8,
+    exact: bool = False,
+) -> Dataset:
+    """Near-duplicate embedding pairs.  ``exact=True`` puts everything
+    in one bucket (brute force — oracle-checkable); the LSH-bucketed
+    path is the scale route (misses only cross-bucket pairs)."""
+    if exact:
+        with_bucket = ds.map_batches(
+            lambda t: t.append_column("bucket", pa.array([0] * t.num_rows, type=pa.int64())),
+            batch_format="pyarrow",
+        )
+    else:
+        with_bucket = add_hyperplane_bucket(ds, dim=dim, n_planes=n_planes)
+    return with_bucket.groupby("bucket").map_groups(
+        CosineDupStage(threshold), batch_format="pandas"
+    )

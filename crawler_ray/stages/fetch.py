@@ -1,0 +1,163 @@
+"""Fetch + attachment-enrichment actor-pool stages.
+
+``Fetcher`` is the stateful fetch stage: a callable class for
+``ds.map_batches(Fetcher, fn_constructor_args=(web_ref,), concurrency=N)``
+whose per-actor state (the synthetic web, or an HTTP session in a live
+deployment) is built once in ``__init__`` and shared across batches.
+The synthetic web is broadcast once via ``ray.put`` and read per actor
+— never re-shipped per batch.
+
+``AttachmentEnricher`` reproduces the reference's attachment inlining
+(src/crawler/data_extractor_2.py:163-180,206-222) structurally: page
+links are split into page edges vs attachment/media edges (viewer
+``?file=`` rewrite included), attachment text is parsed (synthetically)
+and becomes ``media`` spans; parse failures become ``media_failed``
+spans.  Output rows carry the final interleaved ``spans`` column and
+the ledger content hash.
+
+Fetch failures remain *data* (``status`` column), never task failures,
+so wave ordering stays deterministic (SURVEY.md §4 retries row).
+"""
+
+from __future__ import annotations
+
+import posixpath
+from urllib.parse import urlparse
+
+import pyarrow as pa
+
+import ray
+
+from crawler_ray.functions.hashing import content_sha256
+from crawler_ray.functions.spans import (
+    attachment_block,
+    make_span,
+    render_main_text,
+    spans_array,
+)
+from crawler_ray.functions.urls import split_links
+from crawler_ray.schemas import SPANS_TYPE
+from crawler_ray.stages.parse import LINKS_TYPE
+
+
+def _resolve(web_or_ref):
+    if isinstance(web_or_ref, ray.ObjectRef):
+        return ray.get(web_or_ref)
+    return web_or_ref
+
+
+class Fetcher:
+    """Actor-pool fetch stage: (url, …) → (+status, +html).
+
+    Content-type gating matches the reference fetcher
+    (high_performance_extractor.py:201-247): only ``text/html`` 200s
+    yield html; everything else becomes an empty-html row.
+    """
+
+    def __init__(self, web_or_ref):
+        self.web = _resolve(web_or_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        statuses, htmls = [], []
+        for url in batch["url"].to_pylist():
+            status, ctype, body = self.web.fetch(url)
+            if status == 200 and "text/html" in ctype:
+                statuses.append(status)
+                htmls.append(body)
+            else:
+                statuses.append(status)
+                htmls.append("")
+        return batch.append_column(
+            "status", pa.array(statuses, type=pa.int16())
+        ).append_column("html", pa.array(htmls, type=pa.string()))
+
+
+class AttachmentEnricher:
+    """Actor-pool stage after parse: splits links, parses attachments,
+    assembles the interleaved spans column + content hash."""
+
+    def __init__(self, web_or_ref, route_attachments: bool = True, link_cap: int | None = None):
+        self.web = _resolve(web_or_ref)
+        self.route_attachments = route_attachments
+        self.link_cap = link_cap
+
+    def _attachment_spans(self, attachments: list[str], offset0: int) -> list[dict]:
+        spans = []
+        off = offset0
+        for url in attachments:
+            name = posixpath.basename(urlparse(url).path) or url
+            text = self.web.attachment_text(url)
+            if text:
+                spans.append(make_span("media", text, name, off))
+            else:
+                spans.append(make_span("media_failed", "", name, off))
+            off += 1
+        return spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        links_col = batch["links"].to_pylist()
+        texts = batch["main_text"].to_pylist()
+        oks = batch["ok"].to_pylist()
+        urls = batch["url"].to_pylist()
+        bases = batch["base_url"].to_pylist() if "base_url" in batch.column_names else urls
+
+        page_links_out, spans_out, hashes = [], [], []
+        for ok, url, base, text, links in zip(oks, urls, bases, texts, links_col):
+            if not ok:
+                page_links_out.append([])
+                spans_out.append([])
+                hashes.append("")
+                continue
+            pairs = [(l["url"], l["text"]) for l in (links or [])]
+            if self.route_attachments:
+                base_netloc = urlparse(base).netloc
+                page_links, attachments = split_links(pairs, base, base_netloc)
+            else:
+                page_links, attachments = pairs, []
+            if self.link_cap is not None:
+                page_links = page_links[: self.link_cap]
+            spans = [make_span("text", text, "", 0)] if text else []
+            spans.extend(self._attachment_spans(attachments, len(spans)))
+            # ledger hash covers the full interleaved text (de2 semantics:
+            # attachments are inlined into main_text before hashing)
+            content_text = render_main_text(spans)
+            page_links_out.append([{"url": u, "text": t} for u, t in page_links])
+            spans_out.append(spans)
+            hashes.append(content_sha256(content_text) if content_text else "")
+
+        out = {}
+        for name in batch.column_names:
+            if name in ("links", "html"):
+                continue
+            out[name] = batch[name]
+        out["page_links"] = pa.array(page_links_out, type=LINKS_TYPE)
+        out["spans"] = spans_array(spans_out)
+        out["content_sha256"] = pa.array(hashes, type=pa.string())
+        return pa.table(out)
+
+
+class CrawlWaveStage:
+    """Fused fetch→parse→enrich stage: one actor pool per wave instead
+    of three (wave latency matters — the crawl is wave-iterative, and
+    actor-pool startup is per-Dataset-execution overhead).
+
+    Semantically identical to
+    ``map_batches(Fetcher) → map_batches(parse_batch) →
+    map_batches(AttachmentEnricher)``; kept fused for the engine's hot
+    path, while the individual stages remain the composable API.
+    """
+
+    def __init__(self, web_or_ref, route_attachments: bool = True, link_cap: int | None = None):
+        self.fetcher = Fetcher(web_or_ref)
+        self.enricher = AttachmentEnricher(
+            self.fetcher.web, route_attachments, link_cap
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawler_ray.stages.parse import parse_batch
+
+        fetched = self.fetcher(batch)
+        # parse_batch drops non-carried columns; re-attach base_url for enrich
+        parsed = parse_batch(fetched)
+        parsed = parsed.append_column("base_url", fetched["base_url"])
+        return self.enricher(parsed)

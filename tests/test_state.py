@@ -1,0 +1,77 @@
+"""Bloom / cuckoo / robots / politeness unit tests."""
+
+import numpy as np
+
+from crawler_ray.state.bloom import BloomFilter
+from crawler_ray.state.cuckoo import CuckooFilter
+from crawler_ray.state.politeness import PolitenessQueue
+from crawler_ray.state.robots import RobotsCache, is_allowed, parse_robots
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(capacity=5000, fp_rate=0.01)
+    items = [f"http://h.test/page/{i}" for i in range(3000)]
+    bf.add_many(items)
+    assert bf.contains_many(items).all()
+    absent = [f"http://h.test/other/{i}" for i in range(3000)]
+    fp = bf.contains_many(absent).mean()
+    assert fp < 0.05
+
+
+def test_bloom_roundtrip():
+    bf = BloomFilter(capacity=100)
+    bf.add_many(["a", "b", "c"])
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert "a" in bf2 and "b" in bf2 and "zz" not in bf2
+    assert bf2.count == 3
+
+
+def test_cuckoo_add_remove():
+    cf = CuckooFilter(capacity=2000)
+    items = [f"url{i}" for i in range(1000)]
+    for it in items:
+        assert cf.add(it)
+    assert all(it in cf for it in items)
+    assert cf.remove("url5")
+    assert "url5" not in cf or True  # fp possible but unlikely; count dropped
+    assert cf.count == 999
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert "url6" in cf2
+
+
+def test_robots_parse_and_match():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/open\n"
+        "User-agent: bot\nDisallow: /\n"
+    )
+    assert is_allowed(rules, "/public/x")
+    assert not is_allowed(rules, "/private/x")
+    assert is_allowed(rules, "/private/open/x")  # longest prefix wins
+
+
+def test_robots_cache_fetch_once():
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        return "User-agent: *\nDisallow: /no/\n"
+
+    rc = RobotsCache(fetch_fn=fetch)
+    assert rc.allowed("http://h.test/yes")
+    assert not rc.allowed("http://h.test/no/x")
+    assert len(calls) == 1  # cached per host
+
+
+def test_politeness_budget_and_order():
+    pq = PolitenessQueue()
+    pq.register("a.test", crawl_delay=1.0)
+    pq.register("b.test", crawl_delay=0.5)
+    assert pq.budget("a.test", horizon=10.0) == 10
+    assert pq.budget("b.test", horizon=10.0) == 20
+    pq.reserve("a.test", 10)
+    # b has earlier next_allowed → scheduled first
+    assert pq.order() == ["b.test", "a.test"]
+    st = pq.state()
+    pq2 = PolitenessQueue()
+    pq2.restore(st)
+    assert pq2.order() == ["b.test", "a.test"]
