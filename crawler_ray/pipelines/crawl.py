@@ -41,7 +41,7 @@ import ray
 import ray.data
 
 from crawler_ray.functions.spans import has_media_failure, render_main_text
-from crawler_ray.stages.fetch import CrawlWaveStage
+from crawler_ray.stages.fetch import CrawlWaveStage, crawl_wave_stateless
 from crawler_ray.stages.scoring import mock_analyze, mock_gate
 from crawler_ray.functions.textops import is_low_quality_text
 from crawler_ray.state.frontier import CrawlProfile, FrontierShard, shard_of
@@ -103,6 +103,7 @@ class CrawlEngine:
         fetch_batch_size: int = 64,
         wave_horizon: float = 0.0,
         bloom_capacity: int = 1 << 17,
+        stateless_fetch: bool = True,
     ):
         self.web = web
         self.seeds = seeds
@@ -121,6 +122,7 @@ class CrawlEngine:
         self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size
         self.wave_horizon = wave_horizon
+        self.stateless_fetch = stateless_fetch
         self.metrics: list[dict] = []
         self.wave = 0
         self.totals = {"dispatched": 0, "saved": 0, "filtered": 0}
@@ -144,7 +146,7 @@ class CrawlEngine:
             )
 
     # ------------------------------------------------------------------
-    def _wave_dataset(self, rows: list[dict]):
+    def _wave_dataset(self, rows: list[dict], parallelism: int | None = None):
         table = pa.table(
             {
                 "site": pa.array([r["site"] for r in rows], type=pa.string()),
@@ -158,7 +160,8 @@ class CrawlEngine:
         )
         # pre-split into blocks so fetch/parse parallelize across the pool
         n = table.num_rows
-        chunk = max(1, min(self.fetch_batch_size, (n + self.fetch_concurrency - 1) // self.fetch_concurrency))
+        p = parallelism or self.fetch_concurrency
+        chunk = max(1, min(self.fetch_batch_size, (n + p - 1) // p))
         tables = [table.slice(i, chunk) for i in range(0, n, chunk)]
         return ray.data.from_arrow(tables)
 
@@ -173,86 +176,81 @@ class CrawlEngine:
             return False
 
         ds = self._wave_dataset(rows)
-        ds = ds.map_batches(
-            CrawlWaveStage,
-            fn_constructor_args=(web_ref, self.route_attachments, self.link_cap),
-            concurrency=self.fetch_concurrency,
-            batch_size=self.fetch_batch_size,
-            batch_format="pyarrow",
-            num_cpus=1,
-        )
-        if self.feedback:
+        if self.stateless_fetch:
+            # stateless tasks + worker-global web cache: no per-wave
+            # actor-pool startup (workers are long-lived across waves)
             ds = ds.map_batches(
-                FeedbackScorer,
-                fn_constructor_args=(self.prompts,),
+                crawl_wave_stateless,
+                fn_args=(web_ref, self.route_attachments, self.link_cap),
+                batch_size=None,  # whole input block per task (no coalescing)
+                batch_format="pyarrow",
+            )
+        else:
+            ds = ds.map_batches(
+                CrawlWaveStage,
+                fn_constructor_args=(web_ref, self.route_attachments, self.link_cap),
                 concurrency=self.fetch_concurrency,
                 batch_size=self.fetch_batch_size,
                 batch_format="pyarrow",
                 num_cpus=1,
             )
-        mat = ds.materialize()
+        if self.feedback:
+            if self.stateless_fetch:
+                prompts = self.prompts
+
+                def fb(batch: pa.Table) -> pa.Table:
+                    return FeedbackScorer(prompts)(batch)
+
+                ds = ds.map_batches(
+                    fb, batch_size=self.fetch_batch_size, batch_format="pyarrow"
+                )
+            else:
+                ds = ds.map_batches(
+                    FeedbackScorer,
+                    fn_constructor_args=(self.prompts,),
+                    concurrency=self.fetch_concurrency,
+                    batch_size=self.fetch_batch_size,
+                    batch_format="pyarrow",
+                    num_cpus=1,
+                )
+        ctrl_cols = ["site", "url", "dispatch_index", "ok", "content_sha256", "page_links"]
+        if self.feedback:
+            ctrl_cols.append("fb_score")
 
         if self.output_dir:
+            # page sink needed → pin the wave once, then write + project
+            mat = ds.materialize()
             # hive-style wave=K partition dirs (the dir name carries the
             # wave column; a resumed run skips completed partitions)
             wave_dir = os.path.join(self.output_dir, f"wave={self.wave:05d}")
             mat.drop_columns(["page_links", "wave"]).write_parquet(wave_dir)
-
-        ctrl_cols = ["site", "url", "dispatch_index", "ok", "content_sha256", "page_links"]
-        if self.feedback:
-            ctrl_cols.append("fb_score")
-        ctrl = mat.select_columns(ctrl_cols).take_all()
-
-        # group by site in dispatch order
-        by_site: dict[str, list[dict]] = {}
-        for r in sorted(ctrl, key=lambda r: (r["site"], r["dispatch_index"])):
-            by_site.setdefault(r["site"], []).append(r)
-
-        ingest_futures = {}
-        for site, results in by_site.items():
-            shard = self.shards[self._site_shard[site]]
-            payload = [
-                {
-                    "url": r["url"],
-                    "ok": bool(r["ok"]),
-                    "content_sha256": r["content_sha256"],
-                    "links": [l["url"] for l in (r["page_links"] or [])],
-                }
-                for r in results
+            block_refs = mat.select_columns(ctrl_cols).to_arrow_refs()
+        else:
+            # no page sink → ONE streaming execution per wave; project the
+            # control columns INSIDE the map stage (a select_columns here
+            # would trigger a schema-inference pre-execution of the whole
+            # fused map on one block — i.e. a second run), and the control
+            # blocks stay in the object store for the shards to ingest
+            # zero-copy in parallel (spans/text never reach the driver)
+            ds = ds.map_batches(
+                lambda t, cols=tuple(ctrl_cols): t.select(list(cols)),
+                batch_format="pyarrow",
+            )
+            # ONE execution: collect the block refs straight from the ref
+            # bundles (to_arrow_refs' trailing schema fetch would re-run
+            # the plan for a limit-1 pass; our blocks are already Arrow)
+            block_refs = [
+                ref for bundle in ds.iter_internal_ref_bundles() for ref in bundle.block_refs
             ]
-            ingest_futures[site] = shard.ingest_results.remote(site, payload)
 
-        saved_by_site = {}
-        n_saved = 0
-        for site, fut in ingest_futures.items():
-            out = ray.get(fut)
-            saved_by_site[site] = set(out["saved"])
-            n_saved += len(out["saved"])
-
-        if self.feedback:
-            fb_futures = []
-            for site, results in by_site.items():
-                shard = self.shards[self._site_shard[site]]
-                scores, failures = [], []
-                for r in results:
-                    if r["url"] not in saved_by_site[site]:
-                        continue
-                    s = r.get("fb_score")
-                    if s is None:
-                        continue
-                    if s < 0:
-                        failures.append(r["url"])
-                    else:
-                        scores.append((r["url"], s))
-                if scores or failures:
-                    fb_futures.append(shard.kb_update.remote(site, scores, failures))
-            if fb_futures:
-                ray.get(fb_futures)
+        ingests = ray.get(
+            [s.ingest_wave.remote(block_refs, self.feedback) for s in self.shards]
+        )
+        n_saved = sum(o["saved"] for o in ingests)
+        n_ok = sum(o["ok"] for o in ingests)
 
         if self.checkpoint_dir:
             self._checkpoint()
-
-        n_ok = sum(1 for r in ctrl if r["ok"])
         self.totals["dispatched"] += len(rows)
         self.totals["saved"] += n_saved
         self.totals["filtered"] += len(rows) - n_ok
@@ -269,6 +267,77 @@ class CrawlEngine:
         )
         self.wave += 1
         return True
+
+    # -- per-shard parallel wave loops --------------------------------
+    def _shard_loop(self, shard_idx: int, web_ref) -> dict:
+        """One shard's independent wave loop.  Per-site semantics are
+        identical to the global loop (a site lives on exactly one
+        shard); shards simply stop synchronizing with each other, so
+        executor fixed costs and ingest overlap across shards."""
+        shard = self.shards[shard_idx]
+        totals = {"dispatched": 0, "saved": 0, "filtered": 0, "waves": 0}
+        ctrl_cols = ["site", "url", "dispatch_index", "ok", "content_sha256", "page_links"]
+        if self.feedback:
+            ctrl_cols.append("fb_score")
+        while True:
+            rows = ray.get(shard.plan_wave.remote(self.wave_horizon))
+            if not rows:
+                break
+            ds = self._wave_dataset(
+                rows, parallelism=max(1, self.fetch_concurrency // self.num_shards)
+            )
+            ds = ds.map_batches(
+                crawl_wave_stateless,
+                fn_args=(web_ref, self.route_attachments, self.link_cap),
+                batch_size=None,  # whole input block per task (no coalescing)
+                batch_format="pyarrow",
+            )
+            if self.feedback:
+                prompts = self.prompts
+
+                def fb(batch: pa.Table) -> pa.Table:
+                    return FeedbackScorer(prompts)(batch)
+
+                ds = ds.map_batches(fb, batch_size=None, batch_format="pyarrow")
+            ds = ds.map_batches(
+                lambda t, cols=tuple(ctrl_cols): t.select(list(cols)),
+                batch_format="pyarrow",
+            )
+            block_refs = [
+                r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs
+            ]
+            out = ray.get(shard.ingest_wave.remote(block_refs, self.feedback))
+            totals["dispatched"] += len(rows)
+            totals["saved"] += out["saved"]
+            totals["filtered"] += len(rows) - out["ok"]
+            totals["waves"] += 1
+        return totals
+
+    def run_parallel(self) -> dict:
+        """Run every shard's wave loop concurrently (driver threads).
+
+        Used for throughput runs (no page sink): the wave-synchronous
+        ordering contract is per-site, and a site lives on exactly one
+        shard, so decoupling shards preserves conformance while letting
+        one shard's ingest overlap another's fetch/parse.  Checkpoint
+        (if configured) is written once at the end.
+        """
+        assert self.output_dir is None, "parallel mode has no page sink yet"
+        from concurrent.futures import ThreadPoolExecutor
+
+        web_ref = ray.put(self.web)
+        with ThreadPoolExecutor(max_workers=self.num_shards) as pool:
+            results = list(
+                pool.map(lambda i: self._shard_loop(i, web_ref), range(self.num_shards))
+            )
+        for r in results:
+            self.totals["dispatched"] += r["dispatched"]
+            self.totals["saved"] += r["saved"]
+            self.totals["filtered"] += r["filtered"]
+            self.wave = max(self.wave, r["waves"])
+        if self.checkpoint_dir:
+            self._checkpoint()
+        return {"waves": self.wave, **self.totals}
 
     def run(self, max_waves: int | None = None) -> dict:
         web_ref = ray.put(self.web)

@@ -1,0 +1,515 @@
+"""Named operator queries over the driver testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pyarrow
+Table / pandas DataFrame; ``ORACLE_SQL`` holds the DuckDB-equivalent
+SQL the driver runs side-by-side (CORRECTNESS gate).  Column names and
+value semantics are kept bit-identical between both sides:
+
+- sums over money/quantity columns are integer *cents* (float sums are
+  order-dependent across engines; integer sums are exact),
+- averages are computed as one double division of exact integer sums,
+- derived scores mirror the reference formulas with identical
+  operation order (crawler_ray.functions.textops docstrings cite the
+  reference lines).
+
+Scale shapes: reads prune columns (`columns=[...]`), aggregates
+pre-combine inside ``map_batches`` before the groupby shuffle, small
+join sides are broadcast via ``ray.put``, top-k merges per-block
+partials.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from crawler_ray.functions.textops import content_quality
+from crawler_ray.functions.textstats import detect_language, whitespace_token_count
+
+
+def _doc(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------------ 1
+def q_kb_pattern_aggregate(sf_dir: str):
+    """KB score aggregate (knowledge_base.py:43-51 shape): grouped
+    totals + count + rounded average, with per-batch partial combine
+    before the shuffle."""
+    ds = _doc(sf_dir, ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("source", as_index=False)["n_chars"].agg(
+            ["sum", "count"]
+        )
+        df.columns = ["pattern", "ts", "n"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("ts", alias_name="total_score"), Sum("n", alias_name="cnt"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        total = batch["total_score"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        avg = np.round(total * 1.0 / cnt, 3)
+        return batch.append_column("avg_score", pa.array(avg, type=pa.float64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ 2
+def q_exact_dedup_first(sf_dir: str):
+    """Exact content dedup: first (min doc_id) per md5 hash + group size
+    (ledger first-seen semantics, processed_ledger.py:35-41)."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        df = pd.DataFrame({"content_hash": hashes, "doc_id": ids})
+        g = df.groupby("content_hash", as_index=False).agg(
+            first_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(
+            Min("first_doc_id", alias_name="first_doc_id"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ 3
+def q_token_counts(sf_dir: str):
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [whitespace_token_count(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, type=pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ 4
+def q_doc_quality(sf_dir: str):
+    """Reference content-quality heuristic per document
+    (high_performance_extractor.py:409-447)."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = [content_quality(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "quality": pa.array(q, type=pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ 5
+def q_lang_distribution(sf_dir: str):
+    ds = _doc(sf_dir, ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+# ------------------------------------------------------------------ 6
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped op as a
+    groupby over (type, window))."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        df["cents"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+# ------------------------------------------------------------------ 7
+def q_nation_order_stats(sf_dir: str):
+    """Broadcast join: orders ⋈ customer ⋈ nation (both small sides via
+    ray.put dict lookups — no shuffle join)."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup_ref = ray.put((cust_map, nation_map))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm, nm = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["nation"] = df["o_custkey"].map(cm).map(nm)
+        df["cents"] = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("nation", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ 8
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with predicate pushdown at the
+    read and per-batch partial combine."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pa.scalar(np.datetime64(Q1_CUTOFF, "us"))),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_c"] = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        df["price_c"] = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_cents=("qty_c", "sum"),
+            sum_price_cents=("price_c", "sum"),
+            n=("qty_c", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ 9
+def q_top_docs_by_tokens(sf_dir: str):
+    """Top-k: sort by token count desc (doc_id asc tiebreak), limit 10."""
+    counted = q_token_counts(sf_dir)
+    # per-block partial top-k would pre-prune at scale; corpus is small
+    df = counted.to_pandas()
+    df = df.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- 10
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows per user (gap > 30 min starts a new session):
+    groupby(user).map_groups over ts-sorted events."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        new_s = (gaps.isna() | (gaps > SESSION_GAP_S)).astype(int)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_s.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- 11
+def q_distinct_sources(sf_dir: str):
+    vals = sorted(_doc(sf_dir, ["source"]).unique("source"))
+    return pa.table({"source": pa.array(vals, type=pa.string())})
+
+
+# ----------------------------------------------------------------- 12
+def q_packet_projection(sf_dir: str):
+    """Packet text truncation projection (data_packet.py:23)."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = [
+            (t[:500] + "...") if t is not None and len(t) > 500 else (t or "")
+            for t in texts
+        ]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "extractedText": pa.array(out, type=pa.string()),
+                "contentType": pa.array(["webpage_text"] * n, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- 13
+ANN_QUERY_ID = 0
+ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (float64 math,
+    broadcast query, per-block partial top-k + tiny merge)."""
+    from crawler_ray.stages.ann import brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = ds.filter(expr=f"vec_id == {ANN_QUERY_ID}").take(1)[0]
+    queries = {"query_id": [ANN_QUERY_ID], "embedding": [np.asarray(qrow["embedding"], dtype=np.float64)]}
+    rest = ds.filter(expr=f"vec_id != {ANN_QUERY_ID}")
+    pdf = brute_force_topk(rest, queries, k=ANN_K)
+    pdf = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True]).reset_index(drop=True)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    return pdf[["vec_id", "rank"]]
+
+
+# ----------------------------------------------------------------- 14
+DUP_COSINE_THRESHOLD = 0.4  # the synthetic embeddings are near-orthogonal
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """All embedding pairs with cosine ≥ threshold (exact mode — the
+    LSH-bucketed variant is the scale path in stages.dedup)."""
+    from crawler_ray.stages.dedup import embedding_near_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    pairs = embedding_near_dups(ds, dim=dim, threshold=DUP_COSINE_THRESHOLD, exact=True)
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame({"id_a": [], "id_b": []})
+    pdf = pdf[["id_a", "id_b"]].astype(np.int64)
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# -------------------------------------------- rows-only (non-SQL) ops
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.6."""
+    from crawler_ray.stages.dedup import minhash_candidate_pairs, verify_jaccard_pairs
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+    docs = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    docs_ref = ray.put(docs)
+    pairs = minhash_candidate_pairs(ds, num_perm=64, num_bands=16)
+    verified = verify_jaccard_pairs(pairs, docs_ref, threshold=0.6)
+    pdf = verified.to_pandas()
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_blocks(sf_dir: str):
+    from crawler_ray.stages.dedup import simhash_dedup_keys
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+    out = simhash_dedup_keys(ds).select_columns(["doc_id", "simhash", "simhash_block"])
+    return out
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from crawler_ray.functions.hashing import rolling_fingerprint
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        prints = [rolling_fingerprint(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(
+                    [[str(x) for x in p] for p in prints], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_language_id(sf_dir: str):
+    """Heuristic language ID vs the stored label (accuracy by lang)."""
+    ds = _doc(sf_dir, ["doc_id", "text", "lang"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        p = [detect_language(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "predicted": pa.array(p, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- oracle
+_QUALITY_SQL = """
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 0.0 ELSE
+    LEAST(1.0,
+      (CASE WHEN length(trim(text, ' \t\n\r')) > 1000 THEN 0.4
+            WHEN length(trim(text, ' \t\n\r')) > 500 THEN 0.3
+            WHEN length(trim(text, ' \t\n\r')) > 100 THEN 0.2 ELSE 0.0 END
+       + CASE WHEN array_length(list_filter(string_split(text, '.'),
+                    s -> length(trim(s, ' \t\n\r')) > 10)) >= 5 THEN 0.3
+              WHEN array_length(list_filter(string_split(text, '.'),
+                    s -> length(trim(s, ' \t\n\r')) > 10)) >= 2 THEN 0.2 ELSE 0.0 END
+       + CASE WHEN ((CASE WHEN contains(text,'설명') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'내용') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'정보') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'소개') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'개요') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'현황') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'실적') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'계획') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'전략') THEN 1 ELSE 0 END)) >= 3 THEN 0.2
+              WHEN ((CASE WHEN contains(text,'설명') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'내용') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'정보') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'소개') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'개요') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'현황') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'실적') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'계획') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text,'전략') THEN 1 ELSE 0 END)) >= 1 THEN 0.1
+              ELSE 0.0 END)
+      * (array_length(list_distinct(string_split(text, chr(10)))) * 1.0
+         / array_length(string_split(text, chr(10)))))
+  END AS quality
+FROM documents
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "kb_pattern_aggregate": (
+        "SELECT source AS pattern, SUM(n_chars) AS total_score, COUNT(*) AS cnt, "
+        "ROUND(SUM(n_chars)*1.0/COUNT(*), 3) AS avg_score FROM documents GROUP BY source"
+    ),
+    "exact_dedup_first": (
+        "SELECT md5(text) AS content_hash, MIN(doc_id) AS first_doc_id, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY md5(text)"
+    ),
+    "token_counts": (
+        "SELECT doc_id, CAST(array_length(string_split_regex(trim(text, ' \t\n\r'), "
+        "'\\s+')) AS BIGINT) AS n_tokens FROM documents"
+    ),
+    "doc_quality": _QUALITY_SQL,
+    "lang_distribution": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+    "events_hourly": (
+        "SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n, "
+        "SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "nation_order_stats": (
+        "SELECT n.n_name AS nation, COUNT(*) AS n_orders, "
+        "SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents, "
+        "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents, "
+        "COUNT(*) AS n FROM lineitem "
+        f"WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "top_docs_by_tokens": (
+        "SELECT doc_id, n_tokens FROM (SELECT doc_id, "
+        "CAST(array_length(string_split_regex(trim(text, ' \t\n\r'), '\\s+')) AS BIGINT) "
+        "AS n_tokens FROM documents) ORDER BY n_tokens DESC, doc_id LIMIT 10"
+    ),
+    "sessionize": (
+        "WITH lagged AS (SELECT user_id, ts, "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events) "
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND "
+        "THEN 1 ELSE 0 END) AS n_sessions FROM lagged GROUP BY user_id"
+    ),
+    "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
+    "packet_projection": (
+        "SELECT doc_id, CASE WHEN length(text) > 500 THEN substr(text, 1, 500) || '...' "
+        "ELSE text END AS extractedText, 'webpage_text' AS contentType FROM documents"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+        f"WHERE vec_id = {ANN_QUERY_ID}), "
+        "s AS (SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "(SELECT qe FROM q)) AS sim FROM embeddings e "
+        f"WHERE e.vec_id <> {ANN_QUERY_ID}) "
+        "SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank "
+        f"FROM s ORDER BY sim DESC, vec_id LIMIT {ANN_K}"
+    ),
+    "embedding_near_dups": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id AND list_cosine_similarity("
+        "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= "
+        f"{DUP_COSINE_THRESHOLD} ORDER BY id_a, id_b"
+    ),
+}
+
+QUERIES = {
+    "kb_pattern_aggregate": q_kb_pattern_aggregate,
+    "exact_dedup_first": q_exact_dedup_first,
+    "token_counts": q_token_counts,
+    "doc_quality": q_doc_quality,
+    "lang_distribution": q_lang_distribution,
+    "events_hourly": q_events_hourly,
+    "nation_order_stats": q_nation_order_stats,
+    "lineitem_agg": q_lineitem_agg,
+    "top_docs_by_tokens": q_top_docs_by_tokens,
+    "sessionize": q_sessionize,
+    "distinct_sources": q_distinct_sources,
+    "packet_projection": q_packet_projection,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    # non-SQL-expressible (driver records rows-only checks)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_blocks": q_simhash_blocks,
+    "doc_fingerprints": q_doc_fingerprints,
+    "language_id": q_language_id,
+}

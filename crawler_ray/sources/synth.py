@@ -68,6 +68,8 @@ class SiteSpec:
     cross_host_rate: float = 0.15
     disallow_prefix: str = "/private"  # robots-disallowed subtree
     private_rate: float = 0.1    # pages living under the disallowed prefix
+    page_weight: int = 1         # body-size multiplier (bench realism:
+                                 # real pages are 10-100× this template)
 
     def base_url(self) -> str:
         return f"http://{self.host}/page/0"
@@ -116,7 +118,7 @@ class SyntheticWeb:
                     f"notice {d % 97} 2024-{1 + d % 12:02d}-{1 + d % 28:02d}"
                 )
         else:
-            n_sent = 3 + _h(spec.seed, page_id, "ns") % 6
+            n_sent = (3 + _h(spec.seed, page_id, "ns") % 6) * spec.page_weight
             for j in range(n_sent):
                 hj = _h(spec.seed, spec.host, page_id, "s", j)
                 words = [_WORDS[(hj >> (k * 5)) % len(_WORDS)] for k in range(9)]

@@ -353,6 +353,9 @@ def embedding_near_dups(
         )
     else:
         with_bucket = add_hyperplane_bucket(ds, dim=dim, n_planes=n_planes)
-    return with_bucket.groupby("bucket").map_groups(
-        CosineDupStage(threshold), batch_format="pandas"
-    )
+    stage = CosineDupStage(threshold)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return stage(g)
+
+    return with_bucket.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

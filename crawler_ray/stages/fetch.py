@@ -161,3 +161,23 @@ class CrawlWaveStage:
         parsed = parse_batch(fetched)
         parsed = parsed.append_column("base_url", fetched["base_url"])
         return self.enricher(parsed)
+
+
+# Worker-global cache for the stateless-task fetch path: Ray worker
+# processes are long-lived, so the broadcast web is fetched from the
+# object store once per worker (not per wave/batch).  This avoids the
+# per-wave actor-pool startup cost of the iterative crawl loop; the
+# actor-pool classes above remain the right tool when per-actor state
+# is genuinely heavy (live aiohttp sessions, models).
+_STAGE_CACHE: dict[str, CrawlWaveStage] = {}
+
+
+def crawl_wave_stateless(
+    batch: pa.Table, web_ref, route_attachments: bool, link_cap: int | None
+) -> pa.Table:
+    key = f"{getattr(web_ref, 'hex', lambda: id(web_ref))()}|{route_attachments}|{link_cap}"
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = CrawlWaveStage(web_ref, route_attachments, link_cap)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)

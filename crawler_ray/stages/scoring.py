@@ -123,10 +123,12 @@ class AnalyzerStage:
         summaries, keywords, scores, langs = [], [], [], []
         for text, url, site, gate in zip(texts, urls, sites, gates):
             if not gate:
-                summaries.append(None)
-                keywords.append(None)
+                # empty (not null) so downstream pandas/tensor conversions
+                # of the list column stay well-typed
+                summaries.append("")
+                keywords.append([])
                 scores.append(0.0)
-                langs.append(None)
+                langs.append("")
                 continue
             res = mock_analyze(text or "", url, self.prompts.get(site, ""))
             summaries.append(res["summary"])

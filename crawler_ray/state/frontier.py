@@ -150,19 +150,32 @@ class _SiteState:
             self.pages_counted += len(batch)
         return batch
 
-    def enqueue_links(self, links: list[str], robots: RobotsCache) -> int:
-        added = 0
-        # The shard's exact set decides (first-seen dedup must also catch
-        # duplicates *within* this batch, which a pre-computed Bloom mask
-        # would miss).  The Bloom is maintained in lockstep as the
-        # checkpointable fast-path structure for cross-shard probes
-        # (`maybe_seen_many`), where a miss is a guaranteed-new URL.
-        for url in links:
+    def enqueue_links(
+        self, links: list[str], robots: RobotsCache, valid: list[bool] | None = None
+    ) -> int:
+        """First-seen ordered enqueue.  ``valid`` is an optional
+        pre-computed validity mask (the ingest path vectorizes
+        ``is_valid_url`` over the whole wave with pyarrow kernels —
+        validity is per-link-independent, so hoisting it out of the
+        sequential dedup loop is safe).
+
+        The shard's exact set decides membership (first-seen dedup must
+        also catch duplicates *within* a batch, which a pre-computed
+        Bloom mask would miss).  The Bloom is maintained in lockstep —
+        batched after the loop — as the checkpointable fast-path
+        structure for cross-shard probes (`maybe_seen_many`), where a
+        miss is a guaranteed-new URL.
+        """
+        added: list[str] = []
+        for i, url in enumerate(links):
             if url in self.visited:
                 continue
             if url in self.failed and url not in self.retractable:
                 continue
-            if not is_valid_url(url, self.base_netloc):
+            if valid is not None:
+                if not valid[i]:
+                    continue
+            elif not is_valid_url(url, self.base_netloc):
                 continue
             if not robots.allowed(url):
                 continue
@@ -170,11 +183,12 @@ class _SiteState:
                 self.stats["queue_overflow_dropped"] += 1
                 continue
             self.visited.add(url)
-            self.bloom.add(url)
             self.queue.append(url)
-            added += 1
-        self.stats["links_queued"] += added
-        return added
+            added.append(url)
+        if added:
+            self.bloom.add_many(added)
+        self.stats["links_queued"] += len(added)
+        return len(added)
 
     def maybe_seen_many(self, urls: list[str]):
         """Bloom fast-path membership (false positives possible, no false
@@ -288,7 +302,18 @@ class FrontierShardLocal:
         """
         st = self.sites[site]
         saved: list[str] = []
+        # vectorized validity over the whole batch's links (pyarrow
+        # regex kernels), sliced back per page below
+        all_links = [u for r in results for u in r.get("links", ())]
+        if all_links:
+            from crawler_ray.functions.urls import valid_url_mask
+
+            flat_valid = valid_url_mask(all_links, st.base_netloc).to_pylist()
+        link_pos = 0
         for r in results:
+            links = list(r.get("links", ()))
+            lv = flat_valid[link_pos : link_pos + len(links)] if links else []
+            link_pos += len(links)
             ok = r["ok"] and bool(r.get("content_sha256"))
             if not self.sites[site].profile.count_dispatched:
                 # fast profile: only pages with content count toward max
@@ -306,8 +331,84 @@ class FrontierShardLocal:
                 st.ledger[url] = new_hash
             saved.append(url)
             st.stats["saved"] += 1
-            st.enqueue_links(list(r.get("links", [])), self.robots)
+            st.enqueue_links(links, self.robots, valid=lv)
         return {"saved": saved, "stats": dict(st.stats)}
+
+    def ingest_wave(self, blocks, apply_feedback: bool = False) -> dict:
+        """Ingest a whole wave from Arrow control blocks (driver passes
+        ``to_arrow_refs()`` output — zero-copy through the object store;
+        the driver never loops over rows).
+
+        Each shard filters the blocks to its own sites, re-sorts to
+        dispatch order, applies the ordered enqueue logic, and (when
+        ``apply_feedback``) the wave-synchronous KB update.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tables = []
+        for b in blocks:
+            t = ray.get(b) if isinstance(b, ray.ObjectRef) else b
+            if t.num_rows:
+                tables.append(t)
+        out = {"saved": 0, "ok": 0}
+        if not tables:
+            return out
+        t = pa.concat_tables(tables)
+        mine = pc.is_in(t["site"], value_set=pa.array(list(self.sites), type=pa.string()))
+        t = t.filter(mine)
+        if t.num_rows == 0:
+            return out
+        t = t.sort_by([("site", "ascending"), ("dispatch_index", "ascending")])
+        sites = t["site"].to_pylist()
+        urls = t["url"].to_pylist()
+        oks = t["ok"].to_pylist()
+        hashes = t["content_sha256"].to_pylist()
+        fb = t["fb_score"].to_pylist() if "fb_score" in t.column_names else [None] * len(urls)
+        # flatten the list<struct> links column once (no per-link dicts):
+        # one string-array conversion + offset slicing
+        pl = t.column("page_links")
+        if isinstance(pl, pa.ChunkedArray):
+            pl = pl.combine_chunks()
+            if isinstance(pl, pa.ChunkedArray):
+                pl = pl.chunk(0) if pl.num_chunks else pa.array([], type=t.schema.field("page_links").type)
+        flat_urls = pl.values.field("url").to_pylist()
+        offs = pl.offsets.to_pylist()
+        links_col = [flat_urls[offs[k] : offs[k + 1]] for k in range(len(urls))]
+
+        i = 0
+        n = len(urls)
+        while i < n:
+            j = i
+            site = sites[i]
+            while j < n and sites[j] == site:
+                j += 1
+            results = [
+                {
+                    "url": urls[k],
+                    "ok": bool(oks[k]),
+                    "content_sha256": hashes[k],
+                    "links": links_col[k],
+                }
+                for k in range(i, j)
+            ]
+            res = self.ingest_results(site, results)
+            saved = set(res["saved"])
+            out["saved"] += len(saved)
+            out["ok"] += sum(1 for k in range(i, j) if oks[k])
+            if apply_feedback:
+                scores, failures = [], []
+                for k in range(i, j):
+                    if urls[k] not in saved or fb[k] is None:
+                        continue
+                    if fb[k] < 0:
+                        failures.append(urls[k])
+                    else:
+                        scores.append((urls[k], fb[k]))
+                if scores or failures:
+                    self.kb_update(site, scores, failures)
+            i = j
+        return out
 
     def record_fetch_failures(self, site: str, urls: list[str]) -> None:
         st = self.sites[site]
@@ -393,4 +494,7 @@ class FrontierShardLocal:
         self.politeness.restore(st["politeness"])
 
 
-FrontierShard = ray.remote(FrontierShardLocal)
+# num_cpus=0: shards are control-plane actors that burst briefly at wave
+# boundaries; reserving whole CPUs for them steals task slots from the
+# fetch/parse stages (tasks then need 2 scheduling rounds per wave)
+FrontierShard = ray.remote(num_cpus=0)(FrontierShardLocal)
