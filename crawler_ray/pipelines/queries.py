@@ -328,6 +328,155 @@ def q_embedding_near_dups(sf_dir: str):
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# ----------------------------------------------------------------- 15
+def _derived_url_expr_sql() -> str:
+    """Deterministic synthetic URL per document, expressible in both
+    engines: doc_id%5 picks the URL shape (valid page / member path /
+    pdf / fragment / cross-host)."""
+    return (
+        "CASE doc_id % 5 "
+        "WHEN 0 THEN 'http://www.' || source || '.co.kr/bbs/view' || CAST(doc_id AS VARCHAR) "
+        "WHEN 1 THEN 'http://www.' || source || '.co.kr/member/join' "
+        "WHEN 2 THEN 'http://www.' || source || '.co.kr/files/r' || CAST(doc_id AS VARCHAR) || '.pdf' "
+        "WHEN 3 THEN 'http://www.' || source || '.co.kr/bbs/view' || CAST(doc_id AS VARCHAR) || '#top' "
+        "ELSE 'http://other.example.net/bbs/view' || CAST(doc_id AS VARCHAR) END"
+    )
+
+
+def _derived_urls(batch: pa.Table) -> list[str]:
+    out = []
+    for d, s in zip(batch["doc_id"].to_pylist(), batch["source"].to_pylist()):
+        m = d % 5
+        if m == 0:
+            out.append(f"http://www.{s}.co.kr/bbs/view{d}")
+        elif m == 1:
+            out.append(f"http://www.{s}.co.kr/member/join")
+        elif m == 2:
+            out.append(f"http://www.{s}.co.kr/files/r{d}.pdf")
+        elif m == 3:
+            out.append(f"http://www.{s}.co.kr/bbs/view{d}#top")
+        else:
+            out.append(f"http://other.example.net/bbs/view{d}")
+    return out
+
+
+def q_link_relevance(sf_dir: str):
+    """Link-relevance prefilter (link_filter.py:26-46) over derived
+    (anchor, URL) pairs — vectorized regex mask."""
+    from crawler_ray.functions.linkfilter import relevance_mask
+
+    ds = _doc(sf_dir, ["doc_id", "source", "text"])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        urls = _derived_urls(batch)
+        anchors = [t[:40] if t else "" for t in batch["text"].to_pylist()]
+        mask = relevance_mask(anchors, urls)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": pa.array(urls, type=pa.string()),
+                "relevant": mask,
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def q_url_validity(sf_dir: str):
+    """Same-netloc URL validity predicate (url_validator.py:5-14) over
+    derived URLs, base = the document's own site host."""
+    from crawler_ray.functions.urls import valid_url_mask
+
+    ds = _doc(sf_dir, ["doc_id", "source"])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        urls = _derived_urls(batch)
+        sources = batch["source"].to_pylist()
+        valid = []
+        # vectorize per netloc group (one regex per distinct host)
+        import collections
+
+        by_src = collections.defaultdict(list)
+        for i, s in enumerate(sources):
+            by_src[s].append(i)
+        valid = [False] * len(urls)
+        for s, idxs in by_src.items():
+            mask = valid_url_mask([urls[i] for i in idxs], f"www.{s}.co.kr").to_pylist()
+            for i, v in zip(idxs, mask):
+                valid[i] = bool(v)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "valid": pa.array(valid, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def q_site_identifier(sf_dir: str):
+    """create_site_identifier (config.py:14-25) over derived URLs."""
+    from crawler_ray.functions.urls import create_site_identifier
+
+    ds = _doc(sf_dir, ["doc_id", "source"])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        urls = _derived_urls(batch)
+        idents = [create_site_identifier(u) for u in urls]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "site_identifier": pa.array(idents, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+PACKET_CRAWL_TIME = "2026-01-01T00:00:00Z"
+PACKET_EXPIRY = "2026-01-31T00:00:00Z"
+
+
+def q_packet_full(sf_dir: str):
+    """Full packet projection incl. deterministic packetId (sha256 of
+    site|url|content-hash, uuid-formatted) and fixed timestamps —
+    data_packet.py:8-33 semantics with injectable clock/id."""
+    import hashlib
+
+    ds = _doc(sf_dir, ["doc_id", "source", "text"])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        ids, urls_out, pids, texts_out, exp = [], [], [], [], []
+        urls = _derived_urls(batch)
+        for d, s, t, u in zip(
+            batch["doc_id"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["text"].to_pylist(),
+            urls,
+        ):
+            t = t or ""
+            chash = hashlib.sha256(t.encode()).hexdigest()
+            h = hashlib.sha256(f"{s}|{u}|{chash}".encode()).hexdigest()
+            pid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+            ids.append(d)
+            urls_out.append(u)
+            pids.append(pid)
+            texts_out.append(t[:500] + ("..." if len(t) > 500 else ""))
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "packetId": pa.array(pids, type=pa.string()),
+                "contentUrl": pa.array(urls_out, type=pa.string()),
+                "extractedText": pa.array(texts_out, type=pa.string()),
+                "crawlTimestamp": pa.array([PACKET_CRAWL_TIME] * n, type=pa.string()),
+                "dataExpiryDate": pa.array([PACKET_EXPIRY] * n, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 # -------------------------------------------- rows-only (non-SQL) ops
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.6."""
@@ -367,6 +516,35 @@ def q_doc_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 6) over documents."""
+    from crawler_ray.stages.dedup import simhash_near_dups
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+    pairs = simhash_near_dups(ds, hamming_threshold=6)
+    pdf = pairs.to_pandas()
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: deterministic media table → image-decode +
+    audio-feature actor stages (codecs stubbed; schema/layout real)."""
+    import ray.data as _rd
+
+    from crawler_ray.stages.multimodal import (
+        audio_features,
+        decode_images,
+        synth_media_table,
+    )
+
+    media = _rd.from_arrow(synth_media_table(n=96, seed=42))
+    img = decode_images(media).select_columns(["media_ref", "media_type", "height", "width"])
+    aud = audio_features(media).select_columns(["media_ref", "duration_s", "n_frames"])
+    ipd = img.to_pandas()
+    apd = aud.to_pandas()
+    return ipd.merge(apd, on="media_ref").sort_values("media_ref").reset_index(drop=True)
 
 
 def q_language_id(sf_dir: str):
@@ -423,7 +601,35 @@ SELECT doc_id,
 FROM documents
 """
 
+_URL_EXPR = _derived_url_expr_sql()
+
 ORACLE_SQL: dict[str, str] = {
+    "link_relevance": (
+        "SELECT doc_id, url, NOT ("
+        "regexp_matches(substr(text, 1, 40), '(?i)로그인|가입|약관|정책|개인정보|이용안내|사이트맵|찾아오시는|채용|문의|고객센터|패밀리사이트') "
+        "OR regexp_matches(url, '(?i)/login|/member|/join|/policy|/recruit|/sitemap|/auth|/cart|/order') "
+        "OR regexp_matches(url, '(?i)\\.(pdf|hwp|zip|rar|exe|dmg|jpg|png|gif|mp4|mp3|doc|docx|xls|xlsx|ppt|pptx)$')"
+        ") AS relevant "
+        f"FROM (SELECT doc_id, text, {_URL_EXPR} AS url FROM documents)"
+    ),
+    "url_validity": (
+        "SELECT doc_id, (doc_id % 5 IN (0, 1, 2)) AS valid FROM documents"
+    ),
+    "site_identifier": (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN 'example_other' "
+        "ELSE source END AS site_identifier FROM documents"
+    ),
+    "packet_full": (
+        "WITH t AS (SELECT doc_id, source, text, "
+        f"{_URL_EXPR} AS url FROM documents), "
+        "h AS (SELECT doc_id, url, text, "
+        "sha256(source || '|' || url || '|' || sha256(text)) AS hh FROM t) "
+        "SELECT doc_id, substr(hh,1,8)||'-'||substr(hh,9,4)||'-'||substr(hh,13,4)"
+        "||'-'||substr(hh,17,4)||'-'||substr(hh,21,12) AS packetId, "
+        "url AS contentUrl, CASE WHEN length(text) > 500 THEN substr(text,1,500)||'...' "
+        "ELSE text END AS extractedText, "
+        f"'{PACKET_CRAWL_TIME}' AS crawlTimestamp, '{PACKET_EXPIRY}' AS dataExpiryDate FROM h"
+    ),
     "kb_pattern_aggregate": (
         "SELECT source AS pattern, SUM(n_chars) AS total_score, COUNT(*) AS cnt, "
         "ROUND(SUM(n_chars)*1.0/COUNT(*), 3) AS avg_score FROM documents GROUP BY source"
@@ -507,9 +713,15 @@ QUERIES = {
     "packet_projection": q_packet_projection,
     "ann_topk": q_ann_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "link_relevance": q_link_relevance,
+    "url_validity": q_url_validity,
+    "site_identifier": q_site_identifier,
+    "packet_full": q_packet_full,
     # non-SQL-expressible (driver records rows-only checks)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_blocks": q_simhash_blocks,
+    "simhash_near_dups": q_simhash_near_dups,
     "doc_fingerprints": q_doc_fingerprints,
     "language_id": q_language_id,
+    "media_features": q_media_features,
 }

@@ -119,6 +119,7 @@ def minhash_candidate_pairs(
     num_perm: int = 128,
     num_bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int = 256,
 ) -> Dataset:
     """LSH candidate pairs (id_a < id_b), deduped across bands."""
     sigs = ds.map_batches(
@@ -147,33 +148,34 @@ def minhash_candidate_pairs(
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         members = sorted(g[id_col].tolist())
+        # O(n²) guard: a degenerate bucket (e.g. empty-text docs all
+        # hashing identically) would explode; cap and RECORD the drop so
+        # truncation is never silent (the capped bucket still yields
+        # first-vs-rest pairs, clustering its members transitively)
+        if len(members) > max_bucket_size:
+            out_a = [members[0]] * (len(members) - 1)
+            out_b = members[1:]
+            return pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "bucket_capped": [1] * len(out_b)}
+            )
         out_a, out_b = [], []
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 out_a.append(members[i])
                 out_b.append(members[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "bucket_capped": [0] * len(out_a)}
+        )
 
     pairs = exploded.groupby("band_key").map_groups(
         pairs_of_bucket, batch_format="pandas"
     )
-    # dedup pairs found in multiple bands (shuffle on the pair key)
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # dedup pairs found by multiple bands: a single vectorized aggregate
+    # (no python-per-group) — n_bands doubles as an LSH-confidence signal
+    from ray.data.aggregate import Max
 
-    def pair_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch["id_a"], pa.string()),
-            pc.cast(batch["id_b"], pa.string()),
-            "|",
-        )
-        return batch.append_column("pair_key", key)
-
-    return (
-        pairs.map_batches(pair_key, batch_format="pyarrow")
-        .groupby("pair_key")
-        .map_groups(first_pair, batch_format="pandas")
-        .drop_columns(["pair_key"])
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands"), Max("bucket_capped", alias_name="bucket_capped")
     )
 
 
@@ -273,6 +275,65 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sims = [simhash64(t or "") for t in batch[self.text_col].to_pylist()]
         return batch.append_column("simhash", pa.array(sims, type=pa.uint64()))
+
+
+def simhash_near_dups(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+    n_chunks: int = 4,
+) -> Dataset:
+    """SimHash near-dup pairs: pigeonhole banding (a pair within
+    hamming ≤ n_chunks−1 shares at least one exact 64/n_chunks-bit
+    chunk) → per-chunk bucket groupby → candidate pairs → exact
+    hamming verify against a broadcast id→simhash map."""
+    import ray as _ray
+
+    sims = ds.map_batches(
+        SimHashStage, fn_constructor_kwargs={"text_col": text_col},
+        concurrency=2, batch_format="pyarrow",
+    ).select_columns([id_col, "simhash"])
+    sim_map = {r[id_col]: int(r["simhash"]) for r in sims.take_all()}
+    sim_ref = _ray.put(sim_map)
+    bits = 64 // n_chunks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for i, h in zip(batch[id_col].to_pylist(), batch["simhash"].to_pylist()):
+            h = int(h)
+            for c in range(n_chunks):
+                chunk = (h >> (c * bits)) & ((1 << bits) - 1)
+                ids.append(i)
+                keys.append(f"{c}:{chunk:x}")
+        return pa.table({"chunk_key": pa.array(keys), id_col: pa.array(ids)})
+
+    exploded = sims.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        members = sorted(g[id_col].tolist())
+        a, b = [], []
+        for i in range(len(members)):
+            for j in range(i + 1, min(len(members), i + 257)):
+                a.append(members[i])
+                b.append(members[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = exploded.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pandas")
+    if pairs.count() == 0:
+        return pairs
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_chunks_hit"))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sm = _ray.get(sim_ref) if isinstance(sim_ref, _ray.ObjectRef) else sim_ref
+        hams = [
+            bin(sm[a] ^ sm[b]).count("1")
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+        ]
+        out = batch.append_column("hamming", pa.array(hams, type=pa.int32()))
+        return out.filter(pc.less_equal(out["hamming"], hamming_threshold))
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_dedup_keys(ds: Dataset, text_col: str = "text", prefix_bits: int = 16) -> Dataset:

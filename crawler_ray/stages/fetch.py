@@ -47,29 +47,63 @@ def _resolve(web_or_ref):
 
 
 class Fetcher:
-    """Actor-pool fetch stage: (url, …) → (+status, +html).
+    """Actor-pool fetch stage: (url, …) → (+status, +html, +attempts).
 
     Content-type gating matches the reference fetcher
     (high_performance_extractor.py:201-247): only ``text/html`` 200s
-    yield html; everything else becomes an empty-html row.
+    yield html; everything else becomes an empty-html row.  Transient
+    (5xx) failures are retried up to ``max_retries`` times per row —
+    the tenacity-retry semantics of the reference
+    (aio_extractor.py:24-29) with failures kept as *data* so wave
+    ordering stays deterministic.
     """
 
-    def __init__(self, web_or_ref):
+    def __init__(self, web_or_ref, max_retries: int = 0):
         self.web = _resolve(web_or_ref)
+        self.max_retries = max_retries
+
+    def _fetch_once(self, url: str) -> tuple[int, str]:
+        status, ctype, body = self.web.fetch(url)
+        if status == 200 and "text/html" in ctype:
+            return status, body
+        return status, ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        statuses, htmls = [], []
+        statuses, htmls, attempts = [], [], []
         for url in batch["url"].to_pylist():
-            status, ctype, body = self.web.fetch(url)
-            if status == 200 and "text/html" in ctype:
-                statuses.append(status)
-                htmls.append(body)
-            else:
-                statuses.append(status)
-                htmls.append("")
-        return batch.append_column(
-            "status", pa.array(statuses, type=pa.int16())
-        ).append_column("html", pa.array(htmls, type=pa.string()))
+            status, body = self._fetch_once(url)
+            tries = 1
+            while status >= 500 and tries <= self.max_retries:
+                status, body = self._fetch_once(url)
+                tries += 1
+            statuses.append(status)
+            htmls.append(body)
+            attempts.append(tries)
+        return (
+            batch.append_column("status", pa.array(statuses, type=pa.int16()))
+            .append_column("html", pa.array(htmls, type=pa.string()))
+            .append_column("attempts", pa.array(attempts, type=pa.int16()))
+        )
+
+
+class LiveFetcher:
+    """Live-HTTP fetch actor (API parity with :class:`Fetcher`): an
+    aiohttp session built once per actor with the reference's connector
+    envelope (pool 100 / 20-per-host, DNS cache 300 s — SURVEY §2.3).
+    This sandbox has no network and no aiohttp, so construction raises;
+    the class documents exactly what a deployment swaps in."""
+
+    def __init__(self, max_retries: int = 3, timeout_s: float = 30.0):
+        try:
+            import aiohttp  # type: ignore  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "aiohttp is not installed in this environment; use the "
+                "SyntheticWeb Fetcher, or deploy with aiohttp available "
+                "(connector: limit=100, limit_per_host=20, ttl_dns_cache=300)"
+            ) from e
+        self.max_retries = max_retries
+        self.timeout_s = timeout_s
 
 
 class AttachmentEnricher:

@@ -1,0 +1,54 @@
+"""Skew utilities + hot-host crawl conformance."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from crawler_ray.conformance.reference_bfs import crawl_site_reference
+from crawler_ray.pipelines.crawl import CrawlEngine
+from crawler_ray.sources.synth import demo_web, seeds_table
+from crawler_ray.stages.shuffle import (
+    add_salted_key,
+    colocate_by,
+    hot_keys_above,
+    key_histogram,
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_key_histogram_and_salting():
+    keys = ["hot"] * 900 + [f"k{i}" for i in range(100)]
+    ds = rd.from_arrow(pa.table({"host": keys, "v": list(range(1000))}))
+    hist = {r["host"]: r["n_rows"] for r in key_histogram(ds, "host").take_all()}
+    assert hist["hot"] == 900
+    hot = hot_keys_above(ds, "host", fraction=0.5)
+    assert hot == ["hot"]
+
+    salted = add_salted_key(ds, "host", n_salt=8, hot_keys=hot)
+    sk = salted.to_pandas()["salted_key"]
+    hot_parts = sk[sk.str.startswith("hot#")].nunique()
+    cold_parts = sk[~sk.str.startswith("hot#")].nunique()
+    assert hot_parts > 1  # hot key fanned out
+    assert all(s.endswith("#0") for s in sk[~sk.str.startswith("hot#")])
+
+    # co-location: every output group holds exactly one salted key
+    grouped = colocate_by(salted, "salted_key")
+    assert grouped.count() == 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_host_crawl_conformance():
+    """One host holds ~50% of all URLs (SURVEY §7.7 skew fixture): the
+    engine still matches the oracle exactly and makes progress on the
+    cold hosts every wave (politeness bounds the hot host per wave)."""
+    web = demo_web(n_sites=3, n_pages=60, seed=13, hot_host=True)
+    seeds = seeds_table(web, max_pages=30).to_pylist()
+    golden = {
+        s["site_identifier"]: crawl_site_reference(web, s) for s in seeds
+    }
+    eng = CrawlEngine(web, seeds, num_shards=2)
+    eng.run()
+    for s in seeds:
+        site = s["site_identifier"]
+        assert eng.url_seen(site) == golden[site]["url_seen"]

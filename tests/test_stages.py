@@ -71,6 +71,16 @@ def test_simhash_blocks(docs_ds):
     assert blocks[0] == blocks[1]
 
 
+def test_simhash_near_dup_pairs(docs_ds):
+    from crawler_ray.stages.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(docs_ds, hamming_threshold=8).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got  # identical docs: hamming 0
+    ham = dict(zip(zip(pairs["id_a"], pairs["id_b"]), pairs["hamming"]))
+    assert ham[(0, 1)] == 0
+
+
 def test_brute_force_and_ivf_topk(ray_session):
     from crawler_ray.stages.ann import brute_force_topk, ivf_topk
 
