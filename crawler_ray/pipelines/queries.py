@@ -260,6 +260,49 @@ def q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+# ---------------------------------------------------------------- 10b
+WINDOW_S = 3600
+SLIDE_S = 900
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding 1-hour windows every 15 min per event_type: each event
+    replicates into WINDOW_S/SLIDE_S windows inside map_batches (no
+    shuffle amplification beyond the window fan-out), then one grouped
+    aggregate."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    k = WINDOW_S // SLIDE_S
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = df["ts"].astype("int64") // 10**9  # us→s via ns? see below
+        # pandas datetime64[us].astype(int64) yields µs; normalize to s
+        epoch = df["ts"].astype("datetime64[us]").astype("int64") // 10**6
+        frames = []
+        for i in range(k):
+            win = (epoch - i * SLIDE_S) // WINDOW_S * WINDOW_S + i * SLIDE_S
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "win_start": win.astype("int64"),
+                        "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["event_type", "win_start"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
 # ----------------------------------------------------------------- 11
 def q_distinct_sources(sf_dir: str):
     vals = sorted(_doc(sf_dir, ["source"]).unique("source"))
@@ -649,6 +692,14 @@ ORACLE_SQL: dict[str, str] = {
         "SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
     ),
+    "sliding_window": (
+        "SELECT event_type, "
+        # floor(epoch) — a bare ::BIGINT cast would ROUND sub-second ts
+        f"CAST((CAST(floor(epoch(ts)) AS BIGINT) - k * {SLIDE_S}) // {WINDOW_S} * {WINDOW_S} + k * {SLIDE_S} AS BIGINT) AS win_start, "
+        "COUNT(*) AS n, SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
+        f"FROM events, (SELECT unnest(range({WINDOW_S // SLIDE_S})) AS k) "
+        "GROUP BY event_type, win_start"
+    ),
     "nation_order_stats": (
         "SELECT n.n_name AS nation, COUNT(*) AS n_orders, "
         "SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents "
@@ -705,6 +756,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "lang_distribution": q_lang_distribution,
     "events_hourly": q_events_hourly,
+    "sliding_window": q_sliding_window,
     "nation_order_stats": q_nation_order_stats,
     "lineitem_agg": q_lineitem_agg,
     "top_docs_by_tokens": q_top_docs_by_tokens,
