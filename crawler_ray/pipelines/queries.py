@@ -571,6 +571,24 @@ def q_simhash_near_dups(sf_dir: str):
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct counts (mergeable per-batch
+    sketches) vs nothing-to-hide exact columns for context."""
+    from crawler_ray.functions.sketches import approx_distinct
+
+    docs = _doc(sf_dir, ["source"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return pd.DataFrame(
+        {
+            "column": ["documents.source", "events.user_id"],
+            "approx_distinct": [
+                round(approx_distinct(docs, "source")),
+                round(approx_distinct(events, "user_id")),
+            ],
+        }
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic media table → image-decode +
     audio-feature actor stages (codecs stubbed; schema/layout real)."""
@@ -776,4 +794,5 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "language_id": q_language_id,
     "media_features": q_media_features,
+    "approx_distinct": q_approx_distinct,
 }

@@ -257,6 +257,24 @@ class FrontierShardLocal:
         self.sites[st.site] = st
         self.politeness.register(st.base_netloc, st.crawl_delay)
 
+    def set_priority(self, site: str, priority: int) -> None:
+        """Reprioritize a host in the politeness queue (lower = sooner).
+        e.g. KB-driven: hosts with high avg_score get negative priority
+        so their waves dispatch first when budgets contend."""
+        st = self.sites[site]
+        self.politeness.hosts[st.base_netloc]["priority"] = priority
+
+    def reprioritize_by_kb(self) -> None:
+        """Derive per-host priority from learned KB quality: sites whose
+        mean pattern avg_score is high crawl sooner (priority = -round(
+        10 × mean avg_score)); unscored sites stay at 0."""
+        for st in self.sites.values():
+            scored = [e["avg_score"] for e in st.kb.values() if e["count"] > 0]
+            if scored:
+                self.politeness.hosts[st.base_netloc]["priority"] = -round(
+                    10 * sum(scored) / len(scored)
+                )
+
     # -- wave planning -------------------------------------------------
     def plan_wave(self, horizon: float = 0.0) -> list[dict]:
         """Dequeue one politeness-budgeted batch per live site; rows are

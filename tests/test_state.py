@@ -62,6 +62,31 @@ def test_robots_cache_fetch_once():
     assert len(calls) == 1  # cached per host
 
 
+def test_frontier_priority_ordering():
+    """Priority dominates next_allowed in wave planning: a prioritized
+    (or KB-boosted) host dispatches first."""
+    from crawler_ray.sources.synth import demo_web, seeds_table
+    from crawler_ray.state.frontier import FrontierShardLocal
+
+    web = demo_web(n_sites=3, n_pages=20, seed=3)
+    seeds = seeds_table(web, max_pages=10).to_pylist()
+    shard = FrontierShardLocal()
+    for s in seeds:
+        shard.add_site(s)
+    shard.set_priority(seeds[2]["site_identifier"], -5)
+    rows = shard.plan_wave()
+    assert rows[0]["site"] == seeds[2]["site_identifier"]
+
+    # KB-driven: high avg_score site gets negative priority
+    shard2 = FrontierShardLocal()
+    for s in seeds:
+        shard2.add_site(s)
+    shard2.kb_update(seeds[1]["site_identifier"], [("http://x/bbs/a", 0.9)], [])
+    shard2.reprioritize_by_kb()
+    rows2 = shard2.plan_wave()
+    assert rows2[0]["site"] == seeds[1]["site_identifier"]
+
+
 def test_politeness_budget_and_order():
     pq = PolitenessQueue()
     pq.register("a.test", crawl_delay=1.0)
