@@ -25,3 +25,29 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def _shim_fsspec_http() -> None:
+    """Environment workaround: fsspec's http module needs aiohttp and
+    raises a bare ImportError without it, which Ray Data's
+    ``_is_http_filesystem`` (catching only ModuleNotFoundError) then
+    propagates from read/write paths depending on import order.
+    Install a sentinel module so the import always succeeds; nothing is
+    ever an instance of the sentinel class, so behavior is 'not an
+    http filesystem' — exactly right for this offline environment."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_shim_fsspec_http()

@@ -48,6 +48,7 @@ def crawl_site_reference(
     kb: dict | None = None,
     ledger: dict | None = None,
     feedback_fn=None,
+    batch_cap: int | None = None,
 ) -> dict:
     """Crawl one site with exact reference semantics.
 
@@ -99,6 +100,10 @@ def crawl_site_reference(
         e["avg_score"] = round(e["total_score"] / e["count"], 3)
 
     bs = _batch_size(profile, max_pages)
+    if batch_cap is not None:
+        # politeness budget: at most `cap` fetches of one host per wave
+        # (engine: PolitenessQueue.budget(horizon) caps plan_wave)
+        bs = min(bs, max(1, batch_cap))
 
     while queue and pages_counted < max_pages:
         # -- collect batch (KB filter at dequeue) ----------------------

@@ -146,7 +146,9 @@ class CrawlEngine:
             )
 
     # ------------------------------------------------------------------
-    def _wave_dataset(self, rows: list[dict], parallelism: int | None = None):
+    def _wave_dataset(
+        self, rows: list[dict], parallelism: int | None = None, wave: int | None = None
+    ):
         table = pa.table(
             {
                 "site": pa.array([r["site"] for r in rows], type=pa.string()),
@@ -155,7 +157,9 @@ class CrawlEngine:
                 "dispatch_index": pa.array(
                     [r["dispatch_index"] for r in rows], type=pa.int64()
                 ),
-                "wave": pa.array([self.wave] * len(rows), type=pa.int32()),
+                "wave": pa.array(
+                    [self.wave if wave is None else wave] * len(rows), type=pa.int32()
+                ),
             }
         )
         # pre-split into blocks so fetch/parse parallelize across the pool
@@ -269,22 +273,30 @@ class CrawlEngine:
         return True
 
     # -- per-shard parallel wave loops --------------------------------
-    def _shard_loop(self, shard_idx: int, web_ref) -> dict:
+    def _shard_loop(self, shard_idx: int, web_ref, start_wave: int = 0) -> dict:
         """One shard's independent wave loop.  Per-site semantics are
         identical to the global loop (a site lives on exactly one
         shard); shards simply stop synchronizing with each other, so
-        executor fixed costs and ingest overlap across shards."""
+        executor fixed costs and ingest overlap across shards.
+
+        With a page sink, waves write to ``shard=<i>/wave=<k>`` dirs;
+        with a checkpoint dir, the shard's state is checkpointed after
+        *its own* every wave (shards are independent, so per-shard
+        checkpoints need no barrier)."""
         shard = self.shards[shard_idx]
-        totals = {"dispatched": 0, "saved": 0, "filtered": 0, "waves": 0}
+        totals = {"dispatched": 0, "saved": 0, "filtered": 0, "waves": start_wave}
         ctrl_cols = ["site", "url", "dispatch_index", "ok", "content_sha256", "page_links"]
         if self.feedback:
             ctrl_cols.append("fb_score")
+        wave = start_wave
         while True:
             rows = ray.get(shard.plan_wave.remote(self.wave_horizon))
             if not rows:
                 break
             ds = self._wave_dataset(
-                rows, parallelism=max(1, self.fetch_concurrency // self.num_shards)
+                rows,
+                parallelism=max(1, self.fetch_concurrency // self.num_shards),
+                wave=wave,
             )
             ds = ds.map_batches(
                 crawl_wave_stateless,
@@ -299,44 +311,102 @@ class CrawlEngine:
                     return FeedbackScorer(prompts)(batch)
 
                 ds = ds.map_batches(fb, batch_size=None, batch_format="pyarrow")
-            ds = ds.map_batches(
-                lambda t, cols=tuple(ctrl_cols): t.select(list(cols)),
-                batch_format="pyarrow",
-            )
-            block_refs = [
-                r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs
-            ]
+            if self.output_dir:
+                mat = ds.materialize()
+                wave_dir = os.path.join(
+                    self.output_dir, f"shard={shard_idx}", f"wave={wave:05d}"
+                )
+                mat.drop_columns(["page_links", "wave"]).write_parquet(wave_dir)
+                block_refs = mat.select_columns(ctrl_cols).to_arrow_refs()
+            else:
+                ds = ds.map_batches(
+                    lambda t, cols=tuple(ctrl_cols): t.select(list(cols)),
+                    batch_format="pyarrow",
+                )
+                block_refs = [
+                    r
+                    for bundle in ds.iter_internal_ref_bundles()
+                    for r in bundle.block_refs
+                ]
             out = ray.get(shard.ingest_wave.remote(block_refs, self.feedback))
+            if self.checkpoint_dir:
+                self._checkpoint_shard(shard_idx, wave)
             totals["dispatched"] += len(rows)
             totals["saved"] += out["saved"]
             totals["filtered"] += len(rows) - out["ok"]
-            totals["waves"] += 1
+            totals["waves"] = wave + 1
+            wave += 1
         return totals
 
-    def run_parallel(self) -> dict:
+    def _checkpoint_shard(self, shard_idx: int, wave: int) -> None:
+        blob = ray.get(self.shards[shard_idx].checkpoint_blob.remote())
+        shard_dir = os.path.join(self.checkpoint_dir, f"shard_{shard_idx}")
+        os.makedirs(shard_dir, exist_ok=True)
+        tmp = os.path.join(shard_dir, f".tmp_wave_{wave:05d}.pkl")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(shard_dir, f"wave_{wave:05d}.pkl"))
+
+    def restore_parallel(self) -> dict[int, int]:
+        """Restore each shard from its own latest per-wave checkpoint;
+        returns {shard_idx: next_wave}.  Page partitions written after a
+        shard's restored wave are pruned (they will be rewritten)."""
+        import shutil
+
+        next_waves: dict[int, int] = {}
+        for i, shard in enumerate(self.shards):
+            shard_dir = os.path.join(self.checkpoint_dir, f"shard_{i}")
+            waves = (
+                sorted(
+                    f
+                    for f in os.listdir(shard_dir)
+                    if f.startswith("wave_") and f.endswith(".pkl")
+                )
+                if os.path.isdir(shard_dir)
+                else []
+            )
+            if not waves:
+                next_waves[i] = 0
+                continue
+            last = waves[-1]
+            with open(os.path.join(shard_dir, last), "rb") as f:
+                ray.get(shard.restore_blob.remote(f.read()))
+            done_wave = int(last[len("wave_") : -len(".pkl")])
+            next_waves[i] = done_wave + 1
+            if self.output_dir:
+                sdir = os.path.join(self.output_dir, f"shard={i}")
+                if os.path.isdir(sdir):
+                    for d in os.listdir(sdir):
+                        if d.startswith("wave=") and int(d.split("=")[1]) > done_wave:
+                            shutil.rmtree(os.path.join(sdir, d))
+        return next_waves
+
+    def run_parallel(self, start_waves: dict[int, int] | None = None) -> dict:
         """Run every shard's wave loop concurrently (driver threads).
 
-        Used for throughput runs (no page sink): the wave-synchronous
-        ordering contract is per-site, and a site lives on exactly one
-        shard, so decoupling shards preserves conformance while letting
-        one shard's ingest overlap another's fetch/parse.  Checkpoint
-        (if configured) is written once at the end.
+        The wave-synchronous ordering contract is per-site, and a site
+        lives on exactly one shard, so decoupling shards preserves
+        conformance while letting one shard's ingest overlap another's
+        fetch/parse.  Pages (if ``output_dir``) land in
+        ``shard=<i>/wave=<k>`` partitions; checkpoints (if configured)
+        are per shard per wave — resume via :meth:`restore_parallel`.
         """
-        assert self.output_dir is None, "parallel mode has no page sink yet"
         from concurrent.futures import ThreadPoolExecutor
 
         web_ref = ray.put(self.web)
+        starts = start_waves or {}
         with ThreadPoolExecutor(max_workers=self.num_shards) as pool:
             results = list(
-                pool.map(lambda i: self._shard_loop(i, web_ref), range(self.num_shards))
+                pool.map(
+                    lambda i: self._shard_loop(i, web_ref, starts.get(i, 0)),
+                    range(self.num_shards),
+                )
             )
         for r in results:
             self.totals["dispatched"] += r["dispatched"]
             self.totals["saved"] += r["saved"]
             self.totals["filtered"] += r["filtered"]
             self.wave = max(self.wave, r["waves"])
-        if self.checkpoint_dir:
-            self._checkpoint()
         return {"waves": self.wave, **self.totals}
 
     def run(self, max_waves: int | None = None) -> dict:

@@ -161,6 +161,43 @@ def test_fast_profile_conformance(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_politeness_budget_conformance(tmp_path):
+    """Same politeness budget on both sides (north_rule phrasing): a
+    wave horizon of 3 s at delay 1 s caps each host to 3 fetches/wave;
+    the engine must match an oracle capped identically."""
+    web = demo_web(n_sites=2, n_pages=60, seed=17)
+    seeds = _seed_dicts(web, max_pages=24)
+    golden = {
+        s["site_identifier"]: crawl_site_reference(web, s, batch_cap=3)
+        for s in seeds
+    }
+    out = str(tmp_path / "pages")
+    eng = CrawlEngine(web, seeds, num_shards=1, output_dir=out, wave_horizon=3.0)
+    eng.run()
+    table = pq.read_table(out, columns=["site", "wave", "dispatch_index", "url"])
+    by_site = {}
+    for site, wave, idx, url in sorted(
+        zip(
+            table["site"].to_pylist(),
+            table["wave"].to_pylist(),
+            table["dispatch_index"].to_pylist(),
+            table["url"].to_pylist(),
+        )
+    ):
+        by_site.setdefault(site, []).append((wave, idx, url))
+    for s in seeds:
+        site = s["site_identifier"]
+        assert by_site[site] == golden[site]["trace"]
+        assert eng.url_seen(site) == golden[site]["url_seen"]
+    # no wave exceeded the budget
+    waves = {}
+    for site, rows in by_site.items():
+        for wave, _, _ in rows:
+            waves[(site, wave)] = waves.get((site, wave), 0) + 1
+    assert max(waves.values()) <= 3
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_robots_filtering():
     """With robots enabled, no disallowed URL is ever fetched or seen
     beyond the exact allowed set (additive capability, not in ref)."""
