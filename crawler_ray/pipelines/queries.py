@@ -371,6 +371,70 @@ def q_embedding_near_dups(sf_dir: str):
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- 14b
+def q_order_lineitem_join(sf_dir: str):
+    """Both-sides-large partitioned hash join (bucket co-grouping):
+    lineitem ⋈ orders on orderkey → revenue stats per order priority."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"okey": batch["l_orderkey"], "price_cents": pa.array(cents)})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table({"okey": t["o_orderkey"], "priority": t["o_orderpriority"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), orders, key="okey", n_buckets=16
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("priority", as_index=False).agg(
+            n_items=("price_cents", "size"), revenue_cents=("price_cents", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+def q_asof_prior_view(sf_dir: str):
+    """As-of join: for every click, the latest prior (or simultaneous)
+    view by the same user — per-user merge_asof inside map_groups."""
+    from crawler_ray.stages.joins import asof_join_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    out = asof_join_groups(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        left_filter=lambda g: g["event_type"] == "click",
+        right_filter=lambda g: g["event_type"] == "view",
+        value_col="ts",
+        out_col="prior_view_ts",
+        tiebreak_col="event_id",
+    )
+    pdf = out.to_pandas()[["event_id", "prior_view_ts"]]
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
 # ----------------------------------------------------------------- 15
 def _derived_url_expr_sql() -> str:
     """Deterministic synthetic URL per document, expressible in both
@@ -665,6 +729,18 @@ FROM documents
 _URL_EXPR = _derived_url_expr_sql()
 
 ORACLE_SQL: dict[str, str] = {
+    "order_lineitem_join": (
+        "SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items, "
+        "SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    ),
+    "asof_prior_view": (
+        "SELECT c.event_id, MAX(v.ts) AS prior_view_ts "
+        "FROM events c LEFT JOIN events v "
+        "ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts "
+        "WHERE c.event_type = 'click' GROUP BY c.event_id ORDER BY c.event_id"
+    ),
     "link_relevance": (
         "SELECT doc_id, url, NOT ("
         "regexp_matches(substr(text, 1, 40), '(?i)로그인|가입|약관|정책|개인정보|이용안내|사이트맵|찾아오시는|채용|문의|고객센터|패밀리사이트') "
@@ -776,6 +852,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sliding_window": q_sliding_window,
     "nation_order_stats": q_nation_order_stats,
+    "order_lineitem_join": q_order_lineitem_join,
+    "asof_prior_view": q_asof_prior_view,
     "lineitem_agg": q_lineitem_agg,
     "top_docs_by_tokens": q_top_docs_by_tokens,
     "sessionize": q_sessionize,

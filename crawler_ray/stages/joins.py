@@ -1,0 +1,93 @@
+"""Join operators beyond broadcast lookups.
+
+- :func:`bucketed_hash_join`: both-sides-large equi-join via explicit
+  hash bucketing (the portable Ray Data pattern from the guide: add
+  ``bucket = hash(key) % B`` to both sides, co-group per bucket, merge
+  matching buckets with pandas inside ``map_groups``).  Document B and
+  salt hot keys with stages.shuffle when one key dominates.
+- :func:`asof_join_groups`: per-key as-of join (``pd.merge_asof``
+  within ts-sorted groups) — the streaming-shaped join the reference
+  lacks but a training-data pipeline needs (latest-prior-event
+  semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _with_bucket(ds: Dataset, key: str, n_buckets: int, side: str) -> Dataset:
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        bucket = (keys.astype(np.int64) % n_buckets).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket)).append_column(
+            "_side", pa.array([side] * batch.num_rows, type=pa.string())
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def bucketed_hash_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> Dataset:
+    """Partitioned hash join on an integer key: one union + one
+    co-grouping shuffle; each bucket merges with pandas."""
+    tagged = _with_bucket(left, key, n_buckets, "l").union(
+        _with_bucket(right, key, n_buckets, "r")
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"].drop(columns=["_side", "bucket"]).dropna(axis=1, how="all")
+        r = g[g["_side"] == "r"].drop(columns=["_side", "bucket"]).dropna(axis=1, how="all")
+        if l.empty or r.empty:
+            return pd.DataFrame()
+        return l.merge(r, on=key, how=how)
+
+    return tagged.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join_groups(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    left_filter,
+    right_filter,
+    value_col: str,
+    out_col: str,
+    tiebreak_col: str | None = None,
+) -> Dataset:
+    """Within each ``key`` group, for every left row find the latest
+    right row with ``right.ts <= left.ts`` and emit its ``value_col``
+    (null when none).  Partitioning assumption: one key's rows fit one
+    group (salt by time range when a key is pathologically hot)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        lhs = g[left_filter(g)].sort_values(sort_cols)
+        rhs = g[right_filter(g)].sort_values(sort_cols)
+        if lhs.empty:
+            return pd.DataFrame()
+        if rhs.empty:
+            out = lhs.copy()
+            out[out_col] = pd.NaT if np.issubdtype(g[value_col].dtype, np.datetime64) else None
+            return out
+        rr = rhs[[ts_col]].copy()  # value_col may BE ts_col — copy, don't rename
+        rr[out_col] = rhs[value_col].to_numpy()
+        merged = pd.merge_asof(
+            lhs,
+            rr,
+            on=ts_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

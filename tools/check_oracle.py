@@ -64,8 +64,9 @@ def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
                         + (" (within 1e-12)" if close else " (LARGE)")
                     )
             else:
-                if not (av == bv).all():
-                    bad = np.nonzero(av != bv)[0][:3]
+                eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+                if not eq.all():
+                    bad = np.nonzero(~eq)[0][:3]
                     problems.append(f"col {c}: value mismatch at rows {bad}: {av[bad]} vs {bv[bad]}")
     return problems
 
