@@ -260,6 +260,23 @@ def q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+# ----------------------------------------------------------------- 9b
+GROUP_TOPK = 3
+
+
+def q_group_topk(sf_dir: str):
+    """Per-group top-k: the 3 longest documents per source (n_chars
+    desc, doc_id asc tiebreak) — groupby().map_groups sorted head."""
+    ds = _doc(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(
+            GROUP_TOPK
+        )
+
+    return ds.groupby("source").map_groups(topk, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- 10b
 WINDOW_S = 3600
 SLIDE_S = 900
@@ -813,6 +830,12 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(array_length(string_split_regex(trim(text, ' \t\n\r'), '\\s+')) AS BIGINT) "
         "AS n_tokens FROM documents) ORDER BY n_tokens DESC, doc_id LIMIT 10"
     ),
+    "group_topk": (
+        "SELECT doc_id, source, n_chars FROM ("
+        "SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM documents"
+        f") WHERE rn <= {GROUP_TOPK}"
+    ),
     "sessionize": (
         "WITH lagged AS (SELECT user_id, ts, "
         "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
@@ -856,6 +879,7 @@ QUERIES = {
     "asof_prior_view": q_asof_prior_view,
     "lineitem_agg": q_lineitem_agg,
     "top_docs_by_tokens": q_top_docs_by_tokens,
+    "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,
