@@ -603,15 +603,33 @@ def q_packet_full(sf_dir: str):
 
 # -------------------------------------------- rows-only (non-SQL) ops
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.6."""
+    """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.6.
+
+    Scale shape: the corpus is never pulled to the driver — only the
+    docs appearing in candidate pairs (a small set by construction) are
+    filtered out of the Dataset and broadcast to the verify stage.
+    """
     from crawler_ray.stages.dedup import minhash_candidate_pairs, verify_jaccard_pairs
 
     ds = _doc(sf_dir, ["doc_id", "text"])
-    docs = {r["doc_id"]: r["text"] for r in ds.take_all()}
-    docs_ref = ray.put(docs)
-    pairs = minhash_candidate_pairs(ds, num_perm=64, num_bands=16)
-    verified = verify_jaccard_pairs(pairs, docs_ref, threshold=0.6)
-    pdf = verified.to_pandas()
+    pairs = minhash_candidate_pairs(ds, num_perm=64, num_bands=16).materialize()
+    pair_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    involved = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+    if not involved:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
+    inv = involved
+
+    def keep_involved(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["doc_id"], value_set=pa.array(sorted(inv), type=pa.int64())
+        )
+        return batch.filter(mask)
+
+    small = ds.map_batches(keep_involved, batch_format="pyarrow")
+    docs = {r["doc_id"]: r["text"] for r in small.take_all()}
+    verified = verify_jaccard_pairs(pairs, ray.put(docs), threshold=0.6)
+    pdf = verified.to_pandas()[["id_a", "id_b", "jaccard"]]
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
