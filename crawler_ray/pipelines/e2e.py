@@ -50,8 +50,11 @@ def crawl_and_refine(
     )
     engine.run()
 
+    # deliberately NOT reading the hive `wave` partition column: its
+    # per-fragment type inference is unstable (string vs dict<int32>)
+    # and the refine stage doesn't need it
     pages = rd.read_parquet(
-        pages_dir, columns=["site", "url", "ok", "spans", "content_sha256", "wave"]
+        pages_dir, columns=["site", "url", "ok", "spans", "content_sha256"]
     )
     pages = pages.filter(expr="ok == True")
 

@@ -260,6 +260,39 @@ def q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+# ----------------------------------------------------------------- 9a
+def q_text_normalize(sf_dir: str):
+    """Vectorized text normalization (pyarrow utf8 kernels — zero
+    Python in the hot path): lowercase + whitespace-collapse + trim."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "normalized": t})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def q_deterministic_sample(sf_dir: str):
+    """Deterministic ~1-in-16 sample by content hash (first md5 hex
+    nibble == '0'): reproducible sampling — the scale-safe alternative
+    to seeded RNG rows, and SQL-expressible, unlike ds.random_sample."""
+    import hashlib
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5((t or "").encode()).hexdigest()[0] == "0"
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- 9b
 GROUP_TOPK = 3
 
@@ -848,6 +881,13 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(array_length(string_split_regex(trim(text, ' \t\n\r'), '\\s+')) AS BIGINT) "
         "AS n_tokens FROM documents) ORDER BY n_tokens DESC, doc_id LIMIT 10"
     ),
+    "text_normalize": (
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+        "AS normalized FROM documents"
+    ),
+    "deterministic_sample": (
+        "SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'"
+    ),
     "group_topk": (
         "SELECT doc_id, source, n_chars FROM ("
         "SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
@@ -898,6 +938,8 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "top_docs_by_tokens": q_top_docs_by_tokens,
     "group_topk": q_group_topk,
+    "text_normalize": q_text_normalize,
+    "deterministic_sample": q_deterministic_sample,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,

@@ -51,6 +51,22 @@ def write_arrow(table: pa.Table, path: str) -> str:
     return path
 
 
+def compact_parquet(
+    input_dir: str, output_dir: str, target_rows_per_file: int = 500_000
+) -> int:
+    """Compact a directory of many small parquet files (e.g. per-wave
+    crawl partitions) into few large ones — the post-crawl maintenance
+    step that keeps downstream scans from drowning in file-open
+    overhead.  Returns the row count written."""
+    ds = rd.read_parquet(input_dir)
+    n = ds.count()
+    try:
+        ds.write_parquet(output_dir, min_rows_per_file=target_rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_parquet(output_dir, num_rows_per_file=target_rows_per_file)
+    return n
+
+
 def read_seeds(path: str) -> pa.Table:
     """Seed table reader: parquet/Lance; Excel (the reference's
     ``input/prompt.xlsx`` format) when pandas+openpyxl are available."""

@@ -26,6 +26,31 @@ def test_crawl_and_refine(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_compact_parquet(tmp_path):
+    import os
+
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.sources.io import compact_parquet
+
+    web = demo_web(n_sites=2, n_pages=40, seed=47)
+    seeds = seeds_table(web, max_pages=16).to_pylist()
+    pages = str(tmp_path / "pages")
+    CrawlEngine(web, seeds, num_shards=1, output_dir=pages).run()
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(pages))
+    n = compact_parquet(pages, str(tmp_path / "compact"))
+    t_before = pq.read_table(pages)
+    t_after = pq.read_table(str(tmp_path / "compact"))
+    assert n == t_before.num_rows == t_after.num_rows
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(str(tmp_path / "compact")))
+    assert n_files_after < n_files_before
+    # content preserved (order-insensitive)
+    cols = ["site", "dispatch_index", "url"]
+    a = sorted(zip(*[t_before[c].to_pylist() for c in cols]))
+    b = sorted(zip(*[t_after[c].to_pylist() for c in cols]))
+    assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_refine_new_waves_incremental(tmp_path):
     from crawler_ray.pipelines.crawl import CrawlEngine
 
