@@ -49,6 +49,7 @@ def crawl_site_reference(
     ledger: dict | None = None,
     feedback_fn=None,
     batch_cap: int | None = None,
+    allow_fn=None,
 ) -> dict:
     """Crawl one site with exact reference semantics.
 
@@ -174,6 +175,8 @@ def crawl_site_reference(
                     continue
                 if not is_valid_url(link_url, base_netloc):
                     continue
+                if allow_fn is not None and not allow_fn(link_url):
+                    continue  # robots (additive capability, engine parity)
                 if len(queue) > QUEUE_CAP:
                     continue
                 visited.add(link_url)

@@ -170,7 +170,7 @@ class _SiteState:
         for i, url in enumerate(links):
             if url in self.visited:
                 continue
-            if url in self.failed and url not in self.retractable:
+            if url in self.failed:
                 continue
             if valid is not None:
                 if not valid[i]:
@@ -352,7 +352,9 @@ class FrontierShardLocal:
             st.enqueue_links(links, self.robots, valid=lv)
         return {"saved": saved, "stats": dict(st.stats)}
 
-    def ingest_wave(self, blocks, apply_feedback: bool = False) -> dict:
+    def ingest_wave(
+        self, blocks, apply_feedback: bool = False, record_failures: bool = False
+    ) -> dict:
         """Ingest a whole wave from Arrow control blocks (driver passes
         ``to_arrow_refs()`` output — zero-copy through the object store;
         the driver never loops over rows).
@@ -414,6 +416,14 @@ class FrontierShardLocal:
             saved = set(res["saved"])
             out["saved"] += len(saved)
             out["ok"] += sum(1 for k in range(i, j) if oks[k])
+            if record_failures:
+                # permanently-failed fetches go to the failed set AND the
+                # cuckoo filter, whose deletions (`retract_failure`)
+                # re-enable requeue on later rediscovery — the reason a
+                # Bloom filter alone can't hold this set.
+                self.record_fetch_failures(
+                    site, [urls[k] for k in range(i, j) if not oks[k]]
+                )
             if apply_feedback:
                 scores, failures = [], []
                 for k in range(i, j):
@@ -435,11 +445,15 @@ class FrontierShardLocal:
             st.retractable.add(u)
 
     def retract_failure(self, site: str, url: str) -> None:
-        """Allow a permanently-failed URL to be requeued on rediscovery
-        (cuckoo deletion — the Bloom filter cannot do this)."""
+        """Allow a permanently-failed URL to be requeued on rediscovery:
+        removed from failed, the cuckoo filter (deletion — the Bloom
+        filter cannot do this), and the exact visited set.  The Bloom
+        keeps a stale positive, which is safe: it is a fast-path hint
+        only and the exact set decides."""
         st = self.sites[site]
         st.failed.discard(url)
         st.retractable.remove(url)
+        st.visited.discard(url)
 
     # -- feedback (KB) -------------------------------------------------
     def kb_update(self, site: str, scores: list[tuple[str, float]], failures: list[str]) -> None:

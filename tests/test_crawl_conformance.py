@@ -199,12 +199,30 @@ def test_politeness_budget_conformance(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_robots_filtering():
-    """With robots enabled, no disallowed URL is ever fetched or seen
-    beyond the exact allowed set (additive capability, not in ref)."""
+    """With robots enabled the engine matches a robots-aware oracle
+    EXACTLY (trace-equivalent frontier), and never sees a disallowed
+    URL (additive capability, not in ref)."""
+    from crawler_ray.state.robots import is_allowed, parse_robots
+    from urllib.parse import urlparse
+
     web = demo_web(n_sites=1, n_pages=60, seed=5, private_rate=0.3)
     seeds = _seed_dicts(web, max_pages=30)
+
+    rules_by_host = {
+        h: parse_robots(web.robots_txt(h)) for h in web.sites
+    }
+
+    def allow(url: str) -> bool:
+        p = urlparse(url)
+        return is_allowed(rules_by_host[p.netloc], p.path or "/")
+
+    golden = {
+        s["site_identifier"]: crawl_site_reference(web, s, allow_fn=allow)
+        for s in seeds
+    }
     eng = CrawlEngine(web, seeds, num_shards=1, robots_enabled=True)
     eng.run()
     site = seeds[0]["site_identifier"]
     seen = eng.url_seen(site)
     assert all("/private/" not in u for u in seen)
+    assert seen == golden[site]["url_seen"]

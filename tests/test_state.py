@@ -87,6 +87,33 @@ def test_frontier_priority_ordering():
     assert rows2[0]["site"] == seeds[1]["site_identifier"]
 
 
+def test_failure_record_and_retract():
+    """Failed URLs never requeue on rediscovery — until retracted via
+    the cuckoo-backed retract_failure (deletion is why it's a cuckoo,
+    not a Bloom)."""
+    from crawler_ray.sources.synth import demo_web, seeds_table
+    from crawler_ray.state.frontier import FrontierShardLocal
+
+    web = demo_web(n_sites=1, n_pages=20, seed=3)
+    seeds = seeds_table(web, max_pages=10).to_pylist()
+    shard = FrontierShardLocal()
+    shard.add_site(seeds[0])
+    site = seeds[0]["site_identifier"]
+    st = shard.sites[site]
+    bad = "http://site00.example.test/page/7"
+    shard.record_fetch_failures(site, [bad])
+    assert bad in st.retractable
+
+    before = len(st.queue)
+    st.enqueue_links([bad], shard.robots)
+    assert len(st.queue) == before  # blocked while failed
+
+    shard.retract_failure(site, bad)
+    assert bad not in st.failed
+    st.enqueue_links([bad], shard.robots)
+    assert list(st.queue)[-1] == bad  # requeued after retraction
+
+
 def test_politeness_budget_and_order():
     pq = PolitenessQueue()
     pq.register("a.test", crawl_delay=1.0)
