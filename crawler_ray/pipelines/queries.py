@@ -485,6 +485,41 @@ def q_asof_prior_view(sf_dir: str):
     return pdf.sort_values("event_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- 14c
+def q_native_join(sf_dir: str):
+    """Ray Data's native hash-partitioned ``Dataset.join`` (available in
+    this Ray version — the portable bucketed join in stages.joins is
+    the fallback pattern): supplier ⋈ nation → per-nation stats."""
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    joined = sup.join(
+        nat,
+        join_type="inner",
+        num_partitions=8,
+        on=("s_nationkey",),
+        right_on=("n_nationkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bal_cents"] = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("bal_cents", "size"), bal_cents=("bal_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("bal_cents", alias_name="bal_cents"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- 15
 def _derived_url_expr_sql() -> str:
     """Deterministic synthetic URL per document, expressible in both
@@ -803,6 +838,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
     ),
+    "native_join": (
+        "SELECT n.n_name, COUNT(*) AS n_suppliers, "
+        "SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS bal_cents "
+        "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    ),
     "asof_prior_view": (
         "SELECT c.event_id, MAX(v.ts) AS prior_view_ts "
         "FROM events c LEFT JOIN events v "
@@ -934,6 +975,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "nation_order_stats": q_nation_order_stats,
     "order_lineitem_join": q_order_lineitem_join,
+    "native_join": q_native_join,
     "asof_prior_view": q_asof_prior_view,
     "lineitem_agg": q_lineitem_agg,
     "top_docs_by_tokens": q_top_docs_by_tokens,
