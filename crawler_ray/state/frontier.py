@@ -481,6 +481,12 @@ class FrontierShardLocal:
     def ledger_add(self, site: str, url: str, content_hash: str) -> None:
         self.sites[site].ledger[url] = content_hash
 
+    def preload_ledger(self, site: str, ledger: dict[str, str]) -> None:
+        """Seed a prior crawl's ledger (re-crawl mode: unchanged pages
+        are skipped — no save, no link enqueue — per the reference's
+        has_changed semantics)."""
+        self.sites[site].ledger.update(ledger)
+
     # -- introspection / conformance -----------------------------------
     def url_seen(self, site: str) -> list[str]:
         return sorted(self.sites[site].visited)

@@ -161,6 +161,54 @@ def test_fast_profile_conformance(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_recrawl_ledger_conformance(tmp_path):
+    """Re-crawl with a prior ledger: unchanged pages are skipped (no
+    save, no enqueue → the frontier starves early), exactly as the
+    oracle with the same preloaded ledger."""
+    web = demo_web(n_sites=2, n_pages=60, seed=29)
+    seeds = _seed_dicts(web, max_pages=30)
+
+    # first crawl produces the ledgers
+    first = {s["site_identifier"]: crawl_site_reference(web, s) for s in seeds}
+
+    golden = {
+        s["site_identifier"]: crawl_site_reference(
+            web, s, ledger=first[s["site_identifier"]]["ledger"]
+        )
+        for s in seeds
+    }
+    out = str(tmp_path / "pages")
+    eng = CrawlEngine(web, seeds, num_shards=1, output_dir=out)
+    for s in seeds:
+        site = s["site_identifier"]
+        shard = eng.shards[eng._site_shard[site]]
+        import ray as _ray
+
+        _ray.get(shard.preload_ledger.remote(site, first[site]["ledger"]))
+    eng.run()
+
+    table = pq.read_table(out, columns=["site", "wave", "dispatch_index", "url"])
+    by_site = {}
+    for site, wave, idx, url in sorted(
+        zip(
+            table["site"].to_pylist(),
+            table["wave"].to_pylist(),
+            table["dispatch_index"].to_pylist(),
+            table["url"].to_pylist(),
+        )
+    ):
+        by_site.setdefault(site, []).append((wave, idx, url))
+    for s in seeds:
+        site = s["site_identifier"]
+        assert by_site[site] == golden[site]["trace"]
+        assert eng.url_seen(site) == golden[site]["url_seen"]
+        # the re-crawl is drastically shorter: seed unchanged → starve
+        assert len(golden[site]["trace"]) < len(first[site]["trace"])
+        # nothing re-saved (all content unchanged)
+        assert golden[site]["pages"] == {}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_politeness_budget_conformance(tmp_path):
     """Same politeness budget on both sides (north_rule phrasing): a
     wave horizon of 3 s at delay 1 s caps each host to 3 fetches/wave;
