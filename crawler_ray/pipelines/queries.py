@@ -260,6 +260,35 @@ def q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+# ----------------------------------------------------------------- 4b
+def q_quality_signals(sf_dir: str):
+    """Quality-signal feature vector per document (length/punct/
+    stopword ratios — functions/textstats.py:quality_signals)."""
+    from crawler_ray.functions.textstats import quality_signals
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        rows = [quality_signals(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array([r["n_words"] for r in rows], type=pa.int64()),
+                "mean_word_len": pa.array(
+                    [r["mean_word_len"] for r in rows], type=pa.float64()
+                ),
+                "punct_ratio": pa.array(
+                    [r["punct_ratio"] for r in rows], type=pa.float64()
+                ),
+                "stopword_ratio": pa.array(
+                    [r["stopword_ratio"] for r in rows], type=pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- 9a
 def q_text_normalize(sf_dir: str):
     """Vectorized text normalization (pyarrow utf8 kernels — zero
@@ -922,6 +951,22 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(array_length(string_split_regex(trim(text, ' \t\n\r'), '\\s+')) AS BIGINT) "
         "AS n_tokens FROM documents) ORDER BY n_tokens DESC, doc_id LIMIT 10"
     ),
+    "quality_signals": (
+        "WITH w AS (SELECT doc_id, text, "
+        "string_split_regex(trim(text, ' \t\n\r'), '\\s+') AS words FROM documents) "
+        "SELECT doc_id, CAST(array_length(words) AS BIGINT) AS n_words, "
+        "CASE WHEN array_length(words) = 0 THEN 0.0 ELSE "
+        "length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / array_length(words) END "
+        "AS mean_word_len, "
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "(length(text) - length(regexp_replace(text, "
+        "'[.,;:!?…·''\"()\\[\\]{}]', '', 'g'))) * 1.0 / length(text) END AS punct_ratio, "
+        "CASE WHEN array_length(words) = 0 THEN 0.0 ELSE "
+        "array_length(list_filter(words, x -> lower(x) IN "
+        "('the','and','of','a','to','in','is','that','it','for'))) * 1.0 "
+        "/ array_length(words) END AS stopword_ratio "
+        "FROM w"
+    ),
     "text_normalize": (
         "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
         "AS normalized FROM documents"
@@ -970,6 +1015,7 @@ QUERIES = {
     "exact_dedup_first": q_exact_dedup_first,
     "token_counts": q_token_counts,
     "doc_quality": q_doc_quality,
+    "quality_signals": q_quality_signals,
     "lang_distribution": q_lang_distribution,
     "events_hourly": q_events_hourly,
     "sliding_window": q_sliding_window,
