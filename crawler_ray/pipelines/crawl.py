@@ -123,6 +123,9 @@ class CrawlEngine:
         self.fetch_batch_size = fetch_batch_size
         self.wave_horizon = wave_horizon
         self.stateless_fetch = stateless_fetch
+        import threading
+
+        self._metrics_lock = threading.Lock()
         self.metrics: list[dict] = []
         self.wave = 0
         self.totals = {"dispatched": 0, "saved": 0, "filtered": 0}
@@ -290,6 +293,7 @@ class CrawlEngine:
             ctrl_cols.append("fb_score")
         wave = start_wave
         while True:
+            t_wave0 = time.perf_counter()
             rows = ray.get(shard.plan_wave.remote(self.wave_horizon))
             if not rows:
                 break
@@ -335,8 +339,24 @@ class CrawlEngine:
             totals["saved"] += out["saved"]
             totals["filtered"] += len(rows) - out["ok"]
             totals["waves"] = wave + 1
+            # per-partition lineage/metrics row (partition = shard)
+            self._metrics_lock_append(
+                {
+                    "wave": wave,
+                    "partition": shard_idx,
+                    "fetched": len(rows),
+                    "parsed": out["ok"],
+                    "filtered": len(rows) - out["ok"],
+                    "accepted": out["saved"],
+                    "wall_s": time.perf_counter() - t_wave0,
+                }
+            )
             wave += 1
         return totals
+
+    def _metrics_lock_append(self, row: dict) -> None:
+        with self._metrics_lock:
+            self.metrics.append(row)
 
     def _checkpoint_shard(self, shard_idx: int, wave: int) -> None:
         blob = ray.get(self.shards[shard_idx].checkpoint_blob.remote())
@@ -407,6 +427,11 @@ class CrawlEngine:
             self.totals["saved"] += r["saved"]
             self.totals["filtered"] += r["filtered"]
             self.wave = max(self.wave, r["waves"])
+        if self.output_dir and self.metrics:
+            pq.write_table(
+                pa.Table.from_pylist(sorted(self.metrics, key=lambda m: (m["partition"], m["wave"]))),
+                self.output_dir.rstrip("/") + "_metrics.parquet",
+            )
         return {"waves": self.wave, **self.totals}
 
     def run(self, max_waves: int | None = None) -> dict:

@@ -38,6 +38,13 @@ def test_parallel_equals_sequential(tmp_path):
 
     shards = [d for d in os.listdir(par_dir) if d.startswith("shard=")]
     assert len(shards) >= 1
+    # per-partition lineage/metrics recorded
+    mt = pq.read_table(par_dir.rstrip("/") + "_metrics.parquet")
+    assert mt.num_rows > 0
+    assert set(mt.column("partition").to_pylist()) <= {0, 1}
+    import pyarrow.compute as pc
+
+    assert pc.sum(mt.column("fetched")).as_py() == len(_rows(par_dir))
 
 
 @pytest.mark.usefixtures("ray_session")
