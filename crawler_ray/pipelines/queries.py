@@ -804,6 +804,41 @@ def q_media_features(sf_dir: str):
     return ipd.merge(apd, on="media_ref").sort_values("media_ref").reset_index(drop=True)
 
 
+def q_interleaved_spans(sf_dir: str):
+    """The input_hint interleaved table end-to-end: deterministic F3
+    fixture → per-doc span stats + delimiter-string round-trip check
+    (kind/text/media_ref/offset preserved)."""
+    import ray.data as _rd
+
+    from crawler_ray.functions.spans import parse_main_text, render_main_text, span_key
+    from crawler_ray.sources.synth import interleaved_documents
+
+    docs = _rd.from_arrow(interleaved_documents(n_docs=200, seed=42))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, n_spans, n_media, n_fail, ok = [], [], [], [], []
+        for d, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+            spans = spans or []
+            rendered = render_main_text(spans)
+            back = parse_main_text(rendered)
+            ids.append(d)
+            n_spans.append(len(spans))
+            n_media.append(sum(1 for s in spans if s["kind"] == "media"))
+            n_fail.append(sum(1 for s in spans if s["kind"] == "media_failed"))
+            ok.append([span_key(s) for s in back] == [span_key(s) for s in spans])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "n_spans": pa.array(n_spans, type=pa.int32()),
+                "n_media": pa.array(n_media, type=pa.int32()),
+                "n_failures": pa.array(n_fail, type=pa.int32()),
+                "roundtrip_ok": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def q_language_id(sf_dir: str):
     """Heuristic language ID vs the stored label (accuracy by lang)."""
     ds = _doc(sf_dir, ["doc_id", "text", "lang"])
@@ -1045,4 +1080,5 @@ QUERIES = {
     "language_id": q_language_id,
     "media_features": q_media_features,
     "approx_distinct": q_approx_distinct,
+    "interleaved_spans": q_interleaved_spans,
 }

@@ -1,0 +1,46 @@
+"""IO helpers: seeds roundtrip, lance gating, context profiles."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_ray.sources.io import HAVE_LANCE, read_seeds, read_table, write_arrow
+from crawler_ray.sources.synth import demo_web, seeds_table
+
+
+def test_seeds_parquet_roundtrip(tmp_path):
+    web = demo_web(n_sites=3, n_pages=10)
+    seeds = seeds_table(web, max_pages=25, crawl_delay=0.5)
+    path = str(tmp_path / "seeds.parquet")
+    write_arrow(seeds, path)
+    back = read_seeds(path)
+    assert back.equals(seeds)
+    assert back.column("max_pages").to_pylist() == [25, 25, 25]
+
+
+def test_seeds_xlsx_gated(tmp_path):
+    # openpyxl absent in this env → clear NotImplementedError, not a crash
+    p = tmp_path / "prompt.xlsx"
+    p.write_bytes(b"not a real xlsx")
+    with pytest.raises((NotImplementedError, ValueError, Exception)):
+        read_seeds(str(p))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_table_parquet_fallback(tmp_path):
+    assert not HAVE_LANCE  # this environment has no lance — parquet path
+    web = demo_web(n_sites=1, n_pages=10)
+    seeds = seeds_table(web)
+    d = str(tmp_path / "t.parquet")
+    write_arrow(seeds, d)
+    ds = read_table(d, columns=["site_identifier", "base_url"])
+    assert ds.count() == 1
+    assert set(ds.schema().names) == {"site_identifier", "base_url"}
+
+
+def test_context_profiles(ray_session):
+    from crawler_ray.context import MIB, configure_default, configure_for_wide_rows
+
+    ctx = configure_default()
+    assert ctx.enable_progress_bars is False
+    ctx2 = configure_for_wide_rows(target_block_mib=192)
+    assert ctx2.target_max_block_size == 192 * MIB
