@@ -137,18 +137,28 @@ def q_events_hourly(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["hour"] = df["ts"].dt.floor("h")
+        # DuckDB's .df() yields datetime64[us]; pin the same unit here so
+        # the driver's dtype-sensitive value hash sees identical columns
+        df["hour"] = df["ts"].dt.floor("h").astype("datetime64[us]")
         df["cents"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
+
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        # the groupby shuffle downcasts hour-aligned timestamps to [s];
+        # restore [us] to match DuckDB's .df() output dtype exactly
+        i = batch.schema.get_field_index("hour")
+        return batch.set_column(i, "hour", batch["hour"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ 7
@@ -477,7 +487,11 @@ def q_order_lineitem_join(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby("priority", as_index=False).agg(
+        df = batch.to_pandas()
+        # the bucketed join's union promotes int64→float64 (null fill);
+        # values are exact (< 2^53) — cast back so sums stay int64
+        df["price_cents"] = df["price_cents"].astype(np.int64)
+        df = df.groupby("priority", as_index=False).agg(
             n_items=("price_cents", "size"), revenue_cents=("price_cents", "sum")
         )
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -898,13 +912,13 @@ _URL_EXPR = _derived_url_expr_sql()
 ORACLE_SQL: dict[str, str] = {
     "order_lineitem_join": (
         "SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items, "
-        "SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS revenue_cents "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
     ),
     "native_join": (
         "SELECT n.n_name, COUNT(*) AS n_suppliers, "
-        "SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS bal_cents "
+        "CAST(SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents "
         "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "GROUP BY n.n_name"
     ),
@@ -940,8 +954,13 @@ ORACLE_SQL: dict[str, str] = {
         "ELSE text END AS extractedText, "
         f"'{PACKET_CRAWL_TIME}' AS crawlTimestamp, '{PACKET_EXPIRY}' AS dataExpiryDate FROM h"
     ),
+    # NOTE: every SUM is wrapped in an outer CAST(... AS BIGINT): DuckDB's
+    # SUM over integers returns HUGEINT, which `.df()` converts to float64,
+    # while the Ray side emits int64 — the driver's value hash is
+    # dtype-sensitive, so both sides must land on int64.
     "kb_pattern_aggregate": (
-        "SELECT source AS pattern, SUM(n_chars) AS total_score, COUNT(*) AS cnt, "
+        "SELECT source AS pattern, CAST(SUM(n_chars) AS BIGINT) AS total_score, "
+        "COUNT(*) AS cnt, "
         "ROUND(SUM(n_chars)*1.0/COUNT(*), 3) AS avg_score FROM documents GROUP BY source"
     ),
     "exact_dedup_first": (
@@ -956,27 +975,27 @@ ORACLE_SQL: dict[str, str] = {
     "lang_distribution": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
     "events_hourly": (
         "SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n, "
-        "SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
+        "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
     ),
     "sliding_window": (
         "SELECT event_type, "
         # floor(epoch) — a bare ::BIGINT cast would ROUND sub-second ts
         f"CAST((CAST(floor(epoch(ts)) AS BIGINT) - k * {SLIDE_S}) // {WINDOW_S} * {WINDOW_S} + k * {SLIDE_S} AS BIGINT) AS win_start, "
-        "COUNT(*) AS n, SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents "
+        "COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents "
         f"FROM events, (SELECT unnest(range({WINDOW_S // SLIDE_S})) AS k) "
         "GROUP BY event_type, win_start"
     ),
     "nation_order_stats": (
         "SELECT n.n_name AS nation, COUNT(*) AS n_orders, "
-        "SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS revenue_cents "
+        "CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
     ),
     "lineitem_agg": (
         "SELECT l_returnflag, l_linestatus, "
-        "SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents, "
-        "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents, "
+        "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
         "COUNT(*) AS n FROM lineitem "
         f"WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}' "
         "GROUP BY l_returnflag, l_linestatus"
@@ -1020,8 +1039,8 @@ ORACLE_SQL: dict[str, str] = {
         "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
         "FROM events) "
         "SELECT user_id, COUNT(*) AS n_events, "
-        "SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND "
-        "THEN 1 ELSE 0 END) AS n_sessions FROM lagged GROUP BY user_id"
+        "CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM lagged GROUP BY user_id"
     ),
     "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
     "packet_projection": (

@@ -39,7 +39,16 @@ def bucketed_hash_join(
     how: str = "inner",
 ) -> Dataset:
     """Partitioned hash join on an integer key: one union + one
-    co-grouping shuffle; each bucket merges with pandas."""
+    co-grouping shuffle; each bucket merges with pandas.
+
+    Only ``how='inner'`` is supported: the empty-bucket early-out and
+    bucket-local merge would silently drop unmatched rows for
+    left/right/outer joins.  Note the union's schema-widening fills the
+    other side's columns with nulls, so pandas promotes int64 columns
+    to float64 inside a bucket — typed consumers must cast back.
+    """
+    if how != "inner":
+        raise ValueError(f"bucketed_hash_join supports how='inner' only, got {how!r}")
     tagged = _with_bucket(left, key, n_buckets, "l").union(
         _with_bucket(right, key, n_buckets, "r")
     )

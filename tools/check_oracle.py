@@ -49,6 +49,12 @@ def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     if sorted(ours.columns) != sorted(oracle.columns):
         problems.append(f"schema: {sorted(ours.columns)} vs {sorted(oracle.columns)}")
         return problems
+    # dtype-strict: the driver's value hash is representation-sensitive
+    # (int64 6 vs float64 6.0 hash differently), so exact dtype parity
+    # is part of the contract, checked BEFORE canonicalization.
+    for c in sorted(ours.columns):
+        if str(ours[c].dtype) != str(oracle[c].dtype):
+            problems.append(f"col {c}: dtype {ours[c].dtype} vs oracle {oracle[c].dtype}")
     if len(ours) != len(oracle):
         problems.append(f"rows: {len(ours)} vs {len(oracle)}")
     a, b = canon(ours), canon(oracle)
