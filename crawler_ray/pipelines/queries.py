@@ -236,10 +236,19 @@ def q_lineitem_agg(sf_dir: str):
 
 # ------------------------------------------------------------------ 9
 def q_top_docs_by_tokens(sf_dir: str):
-    """Top-k: sort by token count desc (doc_id asc tiebreak), limit 10."""
+    """Top-k: sort by token count desc (doc_id asc tiebreak), limit 10.
+    Per-block partial top-k (the shuffle carries ≤10 rows per block),
+    then a tiny driver merge — same shape as stages.ann."""
     counted = q_token_counts(sf_dir)
-    # per-block partial top-k would pre-prune at scale; corpus is small
-    df = counted.to_pandas()
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = counted.map_batches(partial_topk, batch_format="pyarrow")
+    df = pruned.to_pandas()  # ≤ 10 rows per block
     df = df.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).head(10)
     return df.reset_index(drop=True)
 
@@ -716,31 +725,19 @@ def q_packet_full(sf_dir: str):
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.6.
 
-    Scale shape: the corpus is never pulled to the driver — only the
-    docs appearing in candidate pairs (a small set by construction) are
-    filtered out of the Dataset and broadcast to the verify stage.
-    """
-    from crawler_ray.stages.dedup import minhash_candidate_pairs, verify_jaccard_pairs
+    Scale shape: nothing corpus-sized ever lands on the driver — the
+    verify is a bucketed hash-join of candidate pairs against the docs
+    table (boilerplate-heavy crawls break any "candidates are small"
+    assumption)."""
+    from crawler_ray.stages.dedup import minhash_candidate_pairs, verify_jaccard_joined
 
     ds = _doc(sf_dir, ["doc_id", "text"])
     pairs = minhash_candidate_pairs(ds, num_perm=64, num_bands=16).materialize()
-    pair_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
-    involved = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
-    if not involved:
+    verified = verify_jaccard_joined(pairs, ds, threshold=0.6)
+    pdf = verified.to_pandas()
+    if pdf.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-
-    inv = involved
-
-    def keep_involved(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(
-            batch["doc_id"], value_set=pa.array(sorted(inv), type=pa.int64())
-        )
-        return batch.filter(mask)
-
-    small = ds.map_batches(keep_involved, batch_format="pyarrow")
-    docs = {r["doc_id"]: r["text"] for r in small.take_all()}
-    verified = verify_jaccard_pairs(pairs, ray.put(docs), threshold=0.6)
-    pdf = verified.to_pandas()[["id_a", "id_b", "jaccard"]]
+    pdf = pdf[["id_a", "id_b", "jaccard"]]
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -76,7 +76,7 @@ def brute_force_topk(
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_args=(qref, k, vec_col, id_col),
-        concurrency=2,
+        concurrency=(1, 16),
         batch_format="pyarrow",
     )
     pdf = partials.to_pandas()  # ≤ k rows per (query, block) — small

@@ -130,7 +130,7 @@ def minhash_candidate_pairs(
             "num_bands": num_bands,
             "shingle_n": shingle_n,
         },
-        concurrency=2,
+        concurrency=(1, 16),
         batch_format="pyarrow",
     )
 
@@ -179,16 +179,81 @@ def minhash_candidate_pairs(
     )
 
 
+def verify_jaccard_joined(
+    pairs: Dataset,
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    n_buckets: int = 32,
+) -> Dataset:
+    """Exact-Jaccard verification via two bucketed hash-joins of the
+    candidate pairs against the docs table — the scale path: neither
+    the corpus nor the pair set ever lands on the driver (boilerplate-
+    heavy crawls make "candidates are small" a broken assumption)."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    def as_a(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t[id_col], "text_a": t[text_col]})
+
+    def as_b(t: pa.Table) -> pa.Table:
+        return pa.table({"id_b": t[id_col], "text_b": t[text_col]})
+
+    slim = pairs.select_columns(["id_a", "id_b"])
+    j = bucketed_hash_join(
+        slim, docs.map_batches(as_a, batch_format="pyarrow"), key="id_a",
+        n_buckets=n_buckets,
+    )
+
+    def fix_ids(t: pa.Table) -> pa.Table:
+        # union null-fill in the join promotes the absent side's int
+        # columns to float64 (values < 2^53, exact) — cast back
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+                "text_a": t["text_a"],
+            }
+        )
+
+    j = bucketed_hash_join(
+        j.map_batches(fix_ids, batch_format="pyarrow"),
+        docs.map_batches(as_b, batch_format="pyarrow"),
+        key="id_b",
+        n_buckets=n_buckets,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = [
+            jaccard(
+                shingle_hashes(a or "", n=shingle_n),
+                shingle_hashes(b or "", n=shingle_n),
+            )
+            for a, b in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+        ]
+        out = pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "jaccard": pa.array(ja, type=pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def verify_jaccard_pairs(
     pairs: Dataset,
     docs_by_id: dict,
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> Dataset:
-    """Exact-Jaccard verification of candidate pairs.  ``docs_by_id`` is
-    a broadcast small-side lookup (ray.put upstream) — at 100 TB this
-    becomes a hash-join of pairs against the docs table on id; the
-    verify math is unchanged."""
+    """Exact-Jaccard verification against a broadcast id→text dict —
+    only for call sites that already hold a SMALL doc subset (e.g. one
+    site's pages).  For corpus-scale verification use
+    :func:`verify_jaccard_joined`."""
     import ray as _ray
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -204,10 +269,21 @@ def verify_jaccard_pairs(
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
-def connected_components(pairs: Dataset, max_rounds: int = 10) -> Dataset:
+def connected_components(
+    pairs: Dataset, max_rounds: int = 10, n_buckets: int = 32
+) -> Dataset:
     """Min-label propagation over the dup-pair edge list: returns
     (doc_id, component) where component = min doc id of the cluster.
-    Each round is one groupby — no driver-side union-find."""
+
+    Fully distributed: each round is one bucketed hash-join (labels onto
+    edges by peer) + one grouped Min — the driver never holds a label
+    map, so giant near-dup graphs (boilerplate-heavy 100 TB crawls)
+    never materialize anywhere.  Convergence is detected by the total
+    label sum (labels decrease monotonically; the sum is a single tiny
+    driver scalar per round)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from crawler_ray.stages.joins import bucketed_hash_join
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch["id_a"]
@@ -222,47 +298,64 @@ def connected_components(pairs: Dataset, max_rounds: int = 10) -> Dataset:
     edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
         to_edges, batch_format="pyarrow"
     ).materialize()
+    if edges.count() == 0:
+        import ray.data as _rd
 
-    # labels: node -> min(node, peers)
-    def min_label(g: pd.DataFrame) -> pd.DataFrame:
-        node = g["node"].iloc[0]
-        lab = min(int(g["label"].min()), int(node))
-        return pd.DataFrame({"node": [node], "label": [lab]})
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
+    # init: label(node) = min(node, all direct peers)
     labels = (
         edges.map_batches(
             lambda t: pa.table({"node": t["node"], "label": t["peer"]}),
             batch_format="pyarrow",
         )
+        .union(
+            edges.map_batches(
+                lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+                batch_format="pyarrow",
+            )
+        )
         .groupby("node")
-        .map_groups(min_label, batch_format="pandas")
+        .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
+    prev_total = labels.aggregate(_Sum("label", alias_name="total"))["total"]
 
     for _ in range(max_rounds):
-        # propagate: join labels onto edges via broadcast (components are
-        # about duplicate clusters — small relative to the corpus)
-        label_map = {r["node"]: r["label"] for r in labels.take_all()}
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            nodes = batch["node"].to_pylist()
-            peers = batch["peer"].to_pylist()
-            lab = [
-                min(label_map.get(n, n), label_map.get(p, p))
-                for n, p in zip(nodes, peers)
-            ]
-            return pa.table({"node": pa.array(nodes), "label": pa.array(lab)})
-
+        peer_labels = labels.map_batches(
+            lambda t: pa.table({"peer": t["node"], "peer_label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        prop = bucketed_hash_join(edges, peer_labels, key="peer", n_buckets=n_buckets)
+        prop_lab = prop.map_batches(
+            # join null-fill promoted the one-sided int columns to
+            # float64 (ids < 2^53, exact) — cast back
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "label": t["peer_label"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
         new_labels = (
-            edges.map_batches(relabel, batch_format="pyarrow")
+            prop_lab.union(labels)
             .groupby("node")
-            .map_groups(min_label, batch_format="pandas")
+            .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
+        total = new_labels.aggregate(_Sum("label", alias_name="total"))["total"]
         labels = new_labels
-        if new_map == label_map:
+        if total == prev_total:
             break
+        prev_total = total
     return labels
 
 
@@ -283,19 +376,20 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     n_chunks: int = 4,
+    n_buckets: int = 32,
 ) -> Dataset:
     """SimHash near-dup pairs: pigeonhole banding (a pair within
     hamming ≤ n_chunks−1 shares at least one exact 64/n_chunks-bit
     chunk) → per-chunk bucket groupby → candidate pairs → exact
-    hamming verify against a broadcast id→simhash map."""
-    import ray as _ray
+    hamming verify by joining pairs against the (id, simhash) table —
+    no driver-side corpus map, so the verify scales with the pair set,
+    not the corpus."""
+    from crawler_ray.stages.joins import bucketed_hash_join
 
     sims = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"text_col": text_col},
-        concurrency=2, batch_format="pyarrow",
-    ).select_columns([id_col, "simhash"])
-    sim_map = {r[id_col]: int(r["simhash"]) for r in sims.take_all()}
-    sim_ref = _ray.put(sim_map)
+        concurrency=(1, 16), batch_format="pyarrow",
+    ).select_columns([id_col, "simhash"]).materialize()
     bits = 64 // n_chunks
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -319,21 +413,62 @@ def simhash_near_dups(
                 b.append(members[j])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    pairs = exploded.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = exploded.groupby("chunk_key").map_groups(
+        bucket_pairs, batch_format="pandas"
+    ).materialize()
     if pairs.count() == 0:
         return pairs
     uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_chunks_hit"))
 
+    # 64-bit hashes travel through the join as hex STRINGS: the join's
+    # union null-fill promotes one-sided numeric columns to float64,
+    # which is lossy above 2^53 — strings survive bit-exact.
+    def sim_side(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            hexes = [f"{int(h):016x}" for h in t["simhash"].to_pylist()]
+            return pa.table(
+                {f"id_{side}": t[id_col], f"sim_{side}": pa.array(hexes, type=pa.string())}
+            )
+
+        return f
+
+    j = bucketed_hash_join(
+        uniq, sims.map_batches(sim_side("a"), batch_format="pyarrow"),
+        key="id_a", n_buckets=n_buckets,
+    )
+
+    def fix_mid(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+                "n_chunks_hit": t["n_chunks_hit"].cast(pa.int64()),
+                "sim_a": t["sim_a"],
+            }
+        )
+
+    j = bucketed_hash_join(
+        j.map_batches(fix_mid, batch_format="pyarrow"),
+        sims.map_batches(sim_side("b"), batch_format="pyarrow"),
+        key="id_b", n_buckets=n_buckets,
+    )
+
     def verify(batch: pa.Table) -> pa.Table:
-        sm = _ray.get(sim_ref) if isinstance(sim_ref, _ray.ObjectRef) else sim_ref
         hams = [
-            bin(sm[a] ^ sm[b]).count("1")
-            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+            bin(int(a, 16) ^ int(b, 16)).count("1")
+            for a, b in zip(batch["sim_a"].to_pylist(), batch["sim_b"].to_pylist())
         ]
-        out = batch.append_column("hamming", pa.array(hams, type=pa.int32()))
+        out = pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "n_chunks_hit": batch["n_chunks_hit"].cast(pa.int64()),
+                "hamming": pa.array(hams, type=pa.int32()),
+            }
+        )
         return out.filter(pc.less_equal(out["hamming"], hamming_threshold))
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_dedup_keys(ds: Dataset, text_col: str = "text", prefix_bits: int = 16) -> Dataset:
@@ -342,7 +477,7 @@ def simhash_dedup_keys(ds: Dataset, text_col: str = "text", prefix_bits: int = 1
     simhashes (rotation-banding generalizes this)."""
     sims = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"text_col": text_col},
-        concurrency=2, batch_format="pyarrow",
+        concurrency=(1, 16), batch_format="pyarrow",
     )
 
     def block(batch: pa.Table) -> pa.Table:

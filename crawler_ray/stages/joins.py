@@ -23,7 +23,14 @@ from ray.data import Dataset
 def _with_bucket(ds: Dataset, key: str, n_buckets: int, side: str) -> Dataset:
     def tag(batch: pa.Table) -> pa.Table:
         keys = batch[key].to_numpy(zero_copy_only=False)
-        bucket = (keys.astype(np.int64) % n_buckets).astype(np.int64)
+        if np.issubdtype(keys.dtype, np.number):
+            bucket = (keys.astype(np.int64) % n_buckets).astype(np.int64)
+        else:
+            # deterministic across processes (pandas siphash, fixed key)
+            bucket = (
+                pd.util.hash_array(keys.astype(object), categorize=False)
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket)).append_column(
             "_side", pa.array([side] * batch.num_rows, type=pa.string())
         )

@@ -49,6 +49,44 @@ def test_minhash_lsh_finds_near_dups(docs_ds):
     assert not any(3 in p or 4 in p for p in got)
 
 
+def test_verify_jaccard_joined_matches_broadcast(docs_ds):
+    """The scale path (bucketed pairs↔docs join) must agree exactly with
+    the broadcast-dict verify on the same candidates."""
+    import ray
+
+    from crawler_ray.stages.dedup import (
+        minhash_candidate_pairs,
+        verify_jaccard_joined,
+        verify_jaccard_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(
+        docs_ds, num_perm=64, num_bands=16, shingle_n=2
+    ).materialize()
+    docs = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+    via_bcast = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in verify_jaccard_pairs(pairs, ray.put(docs), shingle_n=2, threshold=0.5).take_all()
+    }
+    via_join = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in verify_jaccard_joined(
+            pairs, docs_ds, shingle_n=2, threshold=0.5
+        ).take_all()
+    }
+    assert via_join == via_bcast and via_join
+
+
+def test_connected_components_empty(ray_session):
+    from crawler_ray.stages.dedup import connected_components
+
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array([], type=pa.int64()),
+                  "id_b": pa.array([], type=pa.int64())})
+    )
+    assert connected_components(pairs).take_all() == []
+
+
 def test_connected_components(ray_session):
     from crawler_ray.stages.dedup import connected_components
 
