@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
+from crawler_ray.functions.arrow_utils import strip_md
 from crawler_ray.functions.textops import content_quality_batch, is_low_quality_batch
 from crawler_ray.functions.textstats import detect_language_batch, token_count_batch
 from crawler_ray.stages.scoring import RELEVANCE_THRESHOLD, AnalyzerStage, GatekeeperStage
@@ -32,6 +33,7 @@ DEFAULT_PROMPT = "table query stream window data"
 
 
 def heuristic_stage(batch: pa.Table) -> pa.Table:
+    batch = strip_md(batch)
     texts = batch["text"].to_pylist()
     return (
         batch.append_column(
@@ -79,6 +81,10 @@ def refine_documents(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     )
+    # whole-block strip BEFORE any batch_size coalescing: unify_schemas
+    # runs when blocks coalesce, and parquet blocks carry unhashable
+    # b'pandas' metadata until stripped
+    ds = ds.map_batches(strip_md, batch_format="pyarrow")
     ds = ds.map_batches(heuristic_stage, batch_format="pyarrow", batch_size=batch_size)
     # site prompt map: the flat corpus carries `source` as the site key
     prompts = {f"src{i}": prompt for i in range(64)}

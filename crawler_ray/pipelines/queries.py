@@ -32,12 +32,22 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from crawler_ray.functions.arrow_utils import strip_md, table_from_pandas
 from crawler_ray.functions.textops import content_quality
 from crawler_ray.functions.textstats import detect_language, whitespace_token_count
 
 
+def _read(path: str, columns=None, **kw):
+    # strip_md fuses with the next map stage; it keeps the b'pandas'
+    # schema metadata (unhashable → breaks Ray's block-schema dedup and
+    # spams shuffle-reduce warnings) out of every downstream block
+    return rd.read_parquet(path, columns=columns, **kw).map_batches(
+        strip_md, batch_format="pyarrow"
+    )
+
+
 def _doc(sf_dir: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ------------------------------------------------------------------ 1
@@ -52,7 +62,7 @@ def q_kb_pattern_aggregate(sf_dir: str):
             ["sum", "count"]
         )
         df.columns = ["pattern", "ts", "n"]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -83,7 +93,7 @@ def q_exact_dedup_first(sf_dir: str):
         g = df.groupby("content_hash", as_index=False).agg(
             first_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -133,7 +143,7 @@ def q_lang_distribution(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type (streaming-shaped op as a
     groupby over (type, window))."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -144,7 +154,7 @@ def q_events_hourly(sf_dir: str):
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -165,17 +175,17 @@ def q_events_hourly(sf_dir: str):
 def q_nation_order_stats(sf_dir: str):
     """Broadcast join: orders ⋈ customer ⋈ nation (both small sides via
     ray.put dict lookups — no shuffle join)."""
-    cust = rd.read_parquet(
+    cust = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
-    nation = rd.read_parquet(
+    nation = _read(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
     cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
     lookup_ref = ray.put((cust_map, nation_map))
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -187,7 +197,7 @@ def q_nation_order_stats(sf_dir: str):
         g = df.groupby("nation", as_index=False).agg(
             n_orders=("cents", "size"), revenue_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     return (
         orders.map_batches(partial, batch_format="pyarrow")
@@ -206,7 +216,7 @@ Q1_CUTOFF = "1998-09-02"
 def q_lineitem_agg(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregate with predicate pushdown at the
     read and per-batch partial combine."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
         filter=(pc.field("l_shipdate") <= pa.scalar(np.datetime64(Q1_CUTOFF, "us"))),
@@ -221,7 +231,7 @@ def q_lineitem_agg(sf_dir: str):
             sum_price_cents=("price_c", "sum"),
             n=("qty_c", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -245,7 +255,7 @@ def q_top_docs_by_tokens(sf_dir: str):
         df = batch.to_pandas().sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).head(10)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df)
 
     pruned = counted.map_batches(partial_topk, batch_format="pyarrow")
     df = pruned.to_pandas()  # ≤ 10 rows per block
@@ -260,7 +270,7 @@ SESSION_GAP_S = 1800
 def q_sessionize(sf_dir: str):
     """Session windows per user (gap > 30 min starts a new session):
     groupby(user).map_groups over ts-sorted events."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
@@ -368,7 +378,7 @@ def q_sliding_window(sf_dir: str):
     replicates into WINDOW_S/SLIDE_S windows inside map_batches (no
     shuffle amplification beyond the window fan-out), then one grouped
     aggregate."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
     k = WINDOW_S // SLIDE_S
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -392,7 +402,7 @@ def q_sliding_window(sf_dir: str):
         g = out.groupby(["event_type", "win_start"], as_index=False).agg(
             n=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
@@ -440,7 +450,7 @@ def q_ann_topk(sf_dir: str):
     broadcast query, per-block partial top-k + tiny merge)."""
     from crawler_ray.stages.ann import brute_force_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qrow = ds.filter(expr=f"vec_id == {ANN_QUERY_ID}").take(1)[0]
     queries = {"query_id": [ANN_QUERY_ID], "embedding": [np.asarray(qrow["embedding"], dtype=np.float64)]}
     rest = ds.filter(expr=f"vec_id != {ANN_QUERY_ID}")
@@ -459,7 +469,7 @@ def q_embedding_near_dups(sf_dir: str):
     LSH-bucketed variant is the scale path in stages.dedup)."""
     from crawler_ray.stages.dedup import embedding_near_dups
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
     pairs = embedding_near_dups(ds, dim=dim, threshold=DUP_COSINE_THRESHOLD, exact=True)
     pdf = pairs.to_pandas()
@@ -475,7 +485,7 @@ def q_order_lineitem_join(sf_dir: str):
     lineitem ⋈ orders on orderkey → revenue stats per order priority."""
     from crawler_ray.stages.joins import bucketed_hash_join
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
     )
 
@@ -485,7 +495,7 @@ def q_order_lineitem_join(sf_dir: str):
         ).astype(np.int64)
         return pa.table({"okey": batch["l_orderkey"], "price_cents": pa.array(cents)})
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
         lambda t: pa.table({"okey": t["o_orderkey"], "priority": t["o_orderpriority"]}),
@@ -503,7 +513,7 @@ def q_order_lineitem_join(sf_dir: str):
         df = df.groupby("priority", as_index=False).agg(
             n_items=("price_cents", "size"), revenue_cents=("price_cents", "sum")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df)
 
     return (
         joined.map_batches(partial, batch_format="pyarrow")
@@ -520,7 +530,7 @@ def q_asof_prior_view(sf_dir: str):
     view by the same user — per-user merge_asof inside map_groups."""
     from crawler_ray.stages.joins import asof_join_groups
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
     out = asof_join_groups(
@@ -542,10 +552,10 @@ def q_native_join(sf_dir: str):
     """Ray Data's native hash-partitioned ``Dataset.join`` (available in
     this Ray version — the portable bucketed join in stages.joins is
     the fallback pattern): supplier ⋈ nation → per-nation stats."""
-    sup = rd.read_parquet(
+    sup = _read(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
     )
-    nat = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nat = _read(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     joined = sup.join(
         nat,
         join_type="inner",
@@ -560,7 +570,7 @@ def q_native_join(sf_dir: str):
         g = df.groupby("n_name", as_index=False).agg(
             n_suppliers=("bal_cents", "size"), bal_cents=("bal_cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     return (
         joined.map_batches(partial, batch_format="pyarrow")
@@ -784,7 +794,7 @@ def q_approx_distinct(sf_dir: str):
     from crawler_ray.functions.sketches import approx_distinct
 
     docs = _doc(sf_dir, ["source"])
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    events = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
     return pd.DataFrame(
         {
             "column": ["documents.source", "events.user_id"],

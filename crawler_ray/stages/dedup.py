@@ -43,6 +43,9 @@ def add_content_hash(ds: Dataset, text_col: str = "text", algo: str = "md5") -> 
     import hashlib
 
     def _hash(batch: pa.Table) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import strip_md
+
+        batch = strip_md(batch)
         fn = hashlib.md5 if algo == "md5" else hashlib.sha256
         hashes = [
             fn((t or "").encode("utf-8")).hexdigest()
@@ -101,6 +104,9 @@ class MinHashStage:
         self.shingle_n = shingle_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import strip_md
+
+        batch = strip_md(batch)
         sigs, bands = [], []
         for t in batch[self.text_col].to_pylist():
             sh = shingle_hashes(t or "", n=self.shingle_n)
@@ -366,6 +372,9 @@ class SimHashStage:
         self.threshold = hamming_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import strip_md
+
+        batch = strip_md(batch)
         sims = [simhash64(t or "") for t in batch[self.text_col].to_pylist()]
         return batch.append_column("simhash", pa.array(sims, type=pa.uint64()))
 

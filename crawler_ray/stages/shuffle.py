@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from crawler_ray.functions.arrow_utils import table_from_pandas
+
 
 def add_salted_key(
     ds: Dataset,
@@ -80,7 +82,7 @@ def key_histogram(ds: Dataset, key_col: str) -> Dataset:
             .size()
             .rename(columns={"size": "n"})
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
