@@ -73,8 +73,11 @@ def valid_url_mask(urls: pa.Array, base_netloc: str) -> pa.Array:
     """Vectorized ``is_valid_url`` over a pyarrow string array."""
     if isinstance(urls, (list, tuple, np.ndarray)):
         urls = pa.array(urls, type=pa.string())
+    # scheme is case-insensitive (urlparse lowercases it in the scalar
+    # predicate); netloc comparison stays case-sensitive to match
+    # urlparse netloc equality exactly
     scheme_ok = pc.match_substring_regex(
-        urls, r"^https?://" + re.escape(base_netloc) + r"([/?].*)?$"
+        urls, r"^(?i:https?)://" + re.escape(base_netloc) + r"([/?].*)?$"
     )
     no_frag = pc.invert(pc.match_substring(urls, "#"))
     no_js = pc.invert(pc.match_substring(urls, "javascript:void(0)"))

@@ -230,7 +230,10 @@ class CrawlEngine:
             # hive-style wave=K partition dirs (the dir name carries the
             # wave column; a resumed run skips completed partitions)
             wave_dir = os.path.join(self.output_dir, f"wave={self.wave:05d}")
-            mat.drop_columns(["page_links", "wave"]).write_parquet(wave_dir)
+            mat.drop_columns(["page_links", "wave", "failed_attachments"]).write_parquet(
+                wave_dir
+            )
+            self._sink_failed_attachments(mat, f"wave={self.wave:05d}")
             block_refs = mat.select_columns(ctrl_cols).to_arrow_refs()
         else:
             # no page sink → ONE streaming execution per wave; project the
@@ -256,8 +259,6 @@ class CrawlEngine:
         n_saved = sum(o["saved"] for o in ingests)
         n_ok = sum(o["ok"] for o in ingests)
 
-        if self.checkpoint_dir:
-            self._checkpoint()
         self.totals["dispatched"] += len(rows)
         self.totals["saved"] += n_saved
         self.totals["filtered"] += len(rows) - n_ok
@@ -272,6 +273,11 @@ class CrawlEngine:
                 "wall_s": time.perf_counter() - t0,
             }
         )
+        # checkpoint AFTER totals/metrics include this wave: restore()
+        # adopts the manifest totals, so checkpointing first would make a
+        # resumed run permanently under-report the just-completed wave
+        if self.checkpoint_dir:
+            self._checkpoint()
         self.wave += 1
         return True
 
@@ -320,7 +326,12 @@ class CrawlEngine:
                 wave_dir = os.path.join(
                     self.output_dir, f"shard={shard_idx}", f"wave={wave:05d}"
                 )
-                mat.drop_columns(["page_links", "wave"]).write_parquet(wave_dir)
+                mat.drop_columns(
+                    ["page_links", "wave", "failed_attachments"]
+                ).write_parquet(wave_dir)
+                self._sink_failed_attachments(
+                    mat, os.path.join(f"shard={shard_idx}", f"wave={wave:05d}")
+                )
                 block_refs = mat.select_columns(ctrl_cols).to_arrow_refs()
             else:
                 ds = ds.map_batches(
@@ -464,6 +475,41 @@ class CrawlEngine:
             rows.extend(ray.get(s.ledger_table.remote()))
         return rows
 
+    # -- forensics side table ------------------------------------------
+    def _sink_failed_attachments(self, mat, subdir: str) -> None:
+        """Explode per-page attachment parse failures into the
+        ``<output>_failed_attachments/<subdir>`` side table (the
+        reference's per-failure raw-bytes + .meta.json archive,
+        data_extractor_2.py:145-161).  A failure appears BOTH here and
+        as a ``media_failed`` span in the pages table."""
+
+        def explode(batch: pa.Table) -> pa.Table:
+            cols = {
+                "site": [], "page_url": [], "name": [],
+                "attachment_url": [], "reason": [], "payload_ref": [],
+            }
+            for site, url, fails in zip(
+                batch["site"].to_pylist(),
+                batch["url"].to_pylist(),
+                batch["failed_attachments"].to_pylist(),
+            ):
+                for f in fails or []:
+                    cols["site"].append(site)
+                    cols["page_url"].append(url)
+                    cols["name"].append(f["name"])
+                    cols["attachment_url"].append(f["attachment_url"])
+                    cols["reason"].append(f["reason"])
+                    cols["payload_ref"].append(f["payload_ref"])
+            return pa.table(
+                {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
+            )
+
+        fails = mat.map_batches(explode, batch_format="pyarrow").materialize()
+        if fails.count() > 0:
+            fails.write_parquet(
+                os.path.join(f"{self.output_dir}_failed_attachments", subdir)
+            )
+
     # -- checkpoint / resume -------------------------------------------
     def _checkpoint(self) -> None:
         blobs = ray.get([s.checkpoint_blob.remote() for s in self.shards])
@@ -482,6 +528,12 @@ class CrawlEngine:
                 },
                 f,
             )
+        # a re-run wave after restoring an older-than-latest checkpoint
+        # leaves the old dir behind; os.replace on a non-empty dir raises
+        # ENOTEMPTY, so clear it first
+        import shutil
+
+        shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
 
     @staticmethod
@@ -508,11 +560,14 @@ class CrawlEngine:
         ray.get(futures)
         self.wave = manifest["wave"] + 1
         self.totals = dict(manifest["totals"])
-        # drop any page output from waves after the checkpoint
-        if self.output_dir and os.path.isdir(self.output_dir):
-            for d in os.listdir(self.output_dir):
-                if d.startswith("wave=") and int(d.split("=")[1]) > manifest["wave"]:
-                    import shutil
+        # drop any page (and forensics) output from waves after the checkpoint
+        if self.output_dir:
+            for root in (self.output_dir, f"{self.output_dir}_failed_attachments"):
+                if not os.path.isdir(root):
+                    continue
+                for d in os.listdir(root):
+                    if d.startswith("wave=") and int(d.split("=")[1]) > manifest["wave"]:
+                        import shutil
 
-                    shutil.rmtree(os.path.join(self.output_dir, d))
+                        shutil.rmtree(os.path.join(root, d))
         return self.wave

@@ -76,6 +76,30 @@ DOCUMENTS = pa.schema(
     ]
 )
 
+# forensics side table for attachment parse failures — the reference
+# archives the raw bytes + a .meta.json per failure
+# (src/crawler/data_extractor_2.py:145-161); here the payload is an
+# object-store/bucket reference, not inlined bytes
+FAILED_ATTACHMENT_STRUCT = pa.struct(
+    [
+        ("name", pa.string()),
+        ("attachment_url", pa.string()),
+        ("reason", pa.string()),
+        ("payload_ref", pa.string()),
+    ]
+)
+
+FAILED_ATTACHMENTS = pa.schema(
+    [
+        ("site", pa.string()),
+        ("page_url", pa.string()),
+        ("name", pa.string()),
+        ("attachment_url", pa.string()),
+        ("reason", pa.string()),
+        ("payload_ref", pa.string()),
+    ]
+)
+
 KB = pa.schema(
     [
         ("pattern", pa.string()),

@@ -115,8 +115,14 @@ class AttachmentEnricher:
         self.route_attachments = route_attachments
         self.link_cap = link_cap
 
-    def _attachment_spans(self, attachments: list[str], offset0: int) -> list[dict]:
-        spans = []
+    def _attachment_spans(
+        self, attachments: list[str], offset0: int
+    ) -> tuple[list[dict], list[dict]]:
+        """Returns (spans, failures): a parse failure both becomes a
+        ``media_failed`` span AND a forensics row (reference saves raw
+        bytes + .meta.json per failure, data_extractor_2.py:145-161 —
+        here the payload lands behind a deterministic object ref)."""
+        spans, failures = [], []
         off = offset0
         for url in attachments:
             name = posixpath.basename(urlparse(url).path) or url
@@ -125,8 +131,16 @@ class AttachmentEnricher:
                 spans.append(make_span("media", text, name, off))
             else:
                 spans.append(make_span("media_failed", "", name, off))
+                failures.append(
+                    {
+                        "name": name,
+                        "attachment_url": url,
+                        "reason": "parse_failed",
+                        "payload_ref": f"raw/{content_sha256(url)[:16]}.bin",
+                    }
+                )
             off += 1
-        return spans
+        return spans, failures
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         links_col = batch["links"].to_pylist()
@@ -135,12 +149,13 @@ class AttachmentEnricher:
         urls = batch["url"].to_pylist()
         bases = batch["base_url"].to_pylist() if "base_url" in batch.column_names else urls
 
-        page_links_out, spans_out, hashes = [], [], []
+        page_links_out, spans_out, hashes, fails_out = [], [], [], []
         for ok, url, base, text, links in zip(oks, urls, bases, texts, links_col):
             if not ok:
                 page_links_out.append([])
                 spans_out.append([])
                 hashes.append("")
+                fails_out.append([])
                 continue
             pairs = [(l["url"], l["text"]) for l in (links or [])]
             if self.route_attachments:
@@ -151,13 +166,17 @@ class AttachmentEnricher:
             if self.link_cap is not None:
                 page_links = page_links[: self.link_cap]
             spans = [make_span("text", text, "", 0)] if text else []
-            spans.extend(self._attachment_spans(attachments, len(spans)))
+            att_spans, failures = self._attachment_spans(attachments, len(spans))
+            spans.extend(att_spans)
             # ledger hash covers the full interleaved text (de2 semantics:
             # attachments are inlined into main_text before hashing)
             content_text = render_main_text(spans)
             page_links_out.append([{"url": u, "text": t} for u, t in page_links])
             spans_out.append(spans)
             hashes.append(content_sha256(content_text) if content_text else "")
+            fails_out.append(failures)
+
+        from crawler_ray.schemas import FAILED_ATTACHMENT_STRUCT
 
         out = {}
         for name in batch.column_names:
@@ -167,6 +186,9 @@ class AttachmentEnricher:
         out["page_links"] = pa.array(page_links_out, type=LINKS_TYPE)
         out["spans"] = spans_array(spans_out)
         out["content_sha256"] = pa.array(hashes, type=pa.string())
+        out["failed_attachments"] = pa.array(
+            fails_out, type=pa.list_(FAILED_ATTACHMENT_STRUCT)
+        )
         return pa.table(out)
 
 

@@ -62,3 +62,38 @@ def test_fetcher_retries_transient_failures():
 def test_live_fetcher_gated():
     with pytest.raises(NotImplementedError):
         LiveFetcher()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_failed_attachments_side_table(tmp_path):
+    """An attachment parse failure lands BOTH as a media_failed span in
+    the pages table AND as a row in the <out>_failed_attachments
+    forensics side table (reference data_extractor_2.py:145-161)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.sources.synth import demo_web, seeds_table
+
+    web = demo_web(n_sites=2, n_pages=80, seed=55)
+    seeds = seeds_table(web, max_pages=40).to_pylist()
+    out_dir = str(tmp_path / "pages")
+    eng = CrawlEngine(web, seeds, num_shards=2, output_dir=out_dir)
+    eng.run()
+
+    pages = pq.read_table(out_dir)
+    failed_names = set()
+    for spans in pages["spans"].to_pylist():
+        for s in spans or []:
+            if s["kind"] == "media_failed":
+                failed_names.add(s["media_ref"])
+    assert failed_names, "synthetic web should produce at least one parse failure"
+    assert "failed_attachments" not in pages.column_names  # side table, not in-row
+
+    side = pq.read_table(f"{out_dir}_failed_attachments")
+    # `wave` is the hive partition column (per-wave lineage for free)
+    assert set(side.column_names) == {
+        "site", "page_url", "name", "attachment_url", "reason", "payload_ref", "wave"
+    }
+    assert set(side["name"].to_pylist()) == failed_names
+    assert all(r == "parse_failed" for r in side["reason"].to_pylist())
+    assert all(p.startswith("raw/") for p in side["payload_ref"].to_pylist())
