@@ -38,6 +38,18 @@ from crawler_ray.functions.textstats import detect_language, whitespace_token_co
 
 
 def _read(path: str, columns=None, **kw):
+    # Size-proportional block count: Ray oversplits small files (e.g. a
+    # 0.6 MB file into 64 blocks to reach CPU parallelism), and sort-
+    # shuffle partition count inherits the block count — so every
+    # downstream groupby pays a 64-partition all-to-all for kilobytes of
+    # data.  ~1 MB per block keeps small-SF shuffles narrow while large
+    # inputs still fan out; real deployments read many files/row-groups
+    # and never hit this path's ceiling.
+    if "override_num_blocks" not in kw:
+        import os as _os
+
+        size = _os.path.getsize(path)
+        kw["override_num_blocks"] = max(4, min(64, size // (1 << 20) + 1))
     # strip_md fuses with the next map stage; it keeps the b'pandas'
     # schema metadata (unhashable → breaks Ray's block-schema dedup and
     # spams shuffle-reduce warnings) out of every downstream block
@@ -742,7 +754,9 @@ def q_minhash_near_dups(sf_dir: str):
     from crawler_ray.stages.dedup import minhash_candidate_pairs, verify_jaccard_joined
 
     ds = _doc(sf_dir, ["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, num_perm=64, num_bands=16).materialize()
+    # fully lazy end-to-end: one streaming execution covers signatures →
+    # banding → pair dedup → the two verify joins
+    pairs = minhash_candidate_pairs(ds, num_perm=64, num_bands=16)
     verified = verify_jaccard_joined(pairs, ds, threshold=0.6)
     pdf = verified.to_pandas()
     if pdf.empty:

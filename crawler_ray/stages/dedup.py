@@ -146,35 +146,63 @@ def minhash_candidate_pairs(
             for bk in bks:
                 ids.append(i)
                 keys.append(bk)
-        return pa.table({"band_key": pa.array(keys), id_col: pa.array(ids)})
-
-    exploded = sigs.select_columns([id_col, "band_keys"]).map_batches(
-        explode, batch_format="pyarrow"
-    )
-
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        members = sorted(g[id_col].tolist())
-        # O(n²) guard: a degenerate bucket (e.g. empty-text docs all
-        # hashing identically) would explode; cap and RECORD the drop so
-        # truncation is never silent (the capped bucket still yields
-        # first-vs-rest pairs, clustering its members transitively)
-        if len(members) > max_bucket_size:
-            out_a = [members[0]] * (len(members) - 1)
-            out_b = members[1:]
-            return pd.DataFrame(
-                {"id_a": out_a, "id_b": out_b, "bucket_capped": [1] * len(out_b)}
-            )
-        out_a, out_b = [], []
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                out_a.append(members[i])
-                out_b.append(members[j])
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "bucket_capped": [0] * len(out_a)}
+        key_arr = np.asarray(keys, dtype=object)
+        # co-locate whole bands under a FIXED number of hash partitions:
+        # grouping by the partition key (not the raw band_key) turns
+        # thousands of tiny per-band python map_groups calls into a few
+        # partition-sized vectorized ones
+        pkey = (
+            pd.util.hash_array(key_arr, categorize=False) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.string()),
+                id_col: pa.array(ids),
+                "pkey": pa.array(pkey),
+            }
         )
 
-    pairs = exploded.groupby("band_key").map_groups(
-        pairs_of_bucket, batch_format="pandas"
+    # no select_columns here: on a lazy Dataset it triggers a
+    # schema-inference pre-execution of the whole upstream stage on one
+    # block; explode projects what it needs and fuses with the sig stage
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby("band_key", sort=False):
+            members = np.sort(grp[id_col].to_numpy())
+            m = len(members)
+            if m < 2:
+                continue
+            # O(n²) guard: a degenerate bucket (e.g. empty-text docs all
+            # hashing identically) would explode; cap and RECORD the drop
+            # so truncation is never silent (the capped bucket still
+            # yields first-vs-rest pairs, clustering members transitively)
+            if m > max_bucket_size:
+                frames.append(
+                    pd.DataFrame(
+                        {"id_a": members[0], "id_b": members[1:], "bucket_capped": 1}
+                    )
+                )
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": members[ia], "id_b": members[ib], "bucket_capped": 0}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "bucket_capped": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = exploded.groupby("pkey").map_groups(
+        pairs_of_partition, batch_format="pandas"
     )
     # dedup pairs found by multiple bands: a single vectorized aggregate
     # (no python-per-group) — n_bands doubles as an LSH-confidence signal
@@ -206,7 +234,11 @@ def verify_jaccard_joined(
     def as_b(t: pa.Table) -> pa.Table:
         return pa.table({"id_b": t[id_col], "text_b": t[text_col]})
 
-    slim = pairs.select_columns(["id_a", "id_b"])
+    # map-side projection (select_columns on a lazy Dataset would
+    # pre-execute the upstream pair pipeline for schema inference)
+    slim = pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
     j = bucketed_hash_join(
         slim, docs.map_batches(as_a, batch_format="pyarrow"), key="id_a",
         n_buckets=n_buckets,
@@ -292,18 +324,16 @@ def connected_components(
     from crawler_ray.stages.joins import bucketed_hash_join
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"]
-        b = batch["id_b"]
+        a = batch["id_a"].combine_chunks()
+        b = batch["id_b"].combine_chunks()
         return pa.table(
             {
-                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                "peer": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+                "node": pa.concat_arrays([a, b]),
+                "peer": pa.concat_arrays([b, a]),
             }
         )
 
-    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
-        to_edges, batch_format="pyarrow"
-    ).materialize()
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     if edges.count() == 0:
         import ray.data as _rd
 
@@ -398,7 +428,12 @@ def simhash_near_dups(
     sims = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"text_col": text_col},
         concurrency=(1, 16), batch_format="pyarrow",
-    ).select_columns([id_col, "simhash"]).materialize()
+    ).map_batches(
+        # map-side projection: select_columns on the lazy stage would
+        # pre-execute it for schema inference
+        lambda t, c=(id_col, "simhash"): t.select(list(c)),
+        batch_format="pyarrow",
+    ).materialize()
     bits = 64 // n_chunks
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -409,20 +444,37 @@ def simhash_near_dups(
                 chunk = (h >> (c * bits)) & ((1 << bits) - 1)
                 ids.append(i)
                 keys.append(f"{c}:{chunk:x}")
-        return pa.table({"chunk_key": pa.array(keys), id_col: pa.array(ids)})
+        pkey = (
+            pd.util.hash_array(np.asarray(keys, dtype=object), categorize=False)
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "chunk_key": pa.array(keys, type=pa.string()),
+                id_col: pa.array(ids),
+                "pkey": pa.array(pkey),
+            }
+        )
 
     exploded = sims.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        members = sorted(g[id_col].tolist())
-        a, b = [], []
-        for i in range(len(members)):
-            for j in range(i + 1, min(len(members), i + 257)):
-                a.append(members[i])
-                b.append(members[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        frames = []
+        for _, grp in g.groupby("chunk_key", sort=False):
+            members = np.sort(grp[id_col].to_numpy())
+            m = len(members)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            keep = ib - ia <= 256  # per-member neighbor cap (degenerate buckets)
+            frames.append(pd.DataFrame({"id_a": members[ia[keep]], "id_b": members[ib[keep]]}))
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = exploded.groupby("chunk_key").map_groups(
+    pairs = exploded.groupby("pkey").map_groups(
         bucket_pairs, batch_format="pandas"
     ).materialize()
     if pairs.count() == 0:
