@@ -101,7 +101,7 @@ def run_crawl_bench() -> dict:
     eng = CrawlEngine(
         web,
         seeds,
-        num_shards=max(2, NCPU // 4),
+        num_shards=int(os.environ.get("BENCH_NUM_SHARDS", str(max(2, NCPU // 4)))),
         fetch_concurrency=NCPU,
         fetch_batch_size=320,
         feedback=True,
@@ -183,18 +183,34 @@ def run_scaling() -> None:
     bus.  Both pairs are reported; see BASELINE.md for the analysis.
     """
 
+    # Repeats per level (best-of-N throughput): single-shot numbers on a
+    # multi-tenant host carry ±15% (sometimes 2×) neighbor noise in
+    # EITHER leg of the ratio; the max over N fresh processes estimates
+    # the noise-free capability at each level, which is what a scaling
+    # ratio is supposed to compare.  Override with BENCH_SCALING_REPEATS.
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or r["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
+                best = r
+        return best
 
-    out = {"metric": "crawl throughput scaling (N vs 4N cpus, fresh sessions)", "pairs": []}
+    out = {
+        "metric": "crawl throughput scaling (N vs 4N cpus, fresh sessions, "
+        f"best of {repeats} per level)",
+        "pairs": [],
+    }
     for lo, hi in ((4, 16), (8, 32)):
         r_lo, r_hi = run_at(lo), run_at(hi)
         thr_lo = r_lo["crawl_urls_per_sec"]

@@ -743,7 +743,102 @@ def q_packet_full(sf_dir: str):
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- 14d
+def q_source_profile(sf_dir: str):
+    """Per-source profile: distinct-language count + discrete median of
+    n_chars (DuckDB quantile_disc semantics: sorted[ceil(q*n)-1]).
+    Median is not partially mergeable, so this shuffles the 3 pruned
+    columns per group — the standard exact-quantile trade-off; the
+    approximate path at scale is a t-digest-style sketch."""
+    ds = _doc(sf_dir, ["source", "lang", "n_chars"])
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        idx = max(int(np.ceil(0.5 * len(v))) - 1, 0)
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_langs": [np.int64(g["lang"].nunique())],
+                "median_chars": [np.int64(v[idx])],
+            }
+        )
+
+    return ds.groupby("source").map_groups(prof, batch_format="pandas")
+
+
+def q_recent_lineitems(sf_dir: str):
+    """Equi + range-predicate join: lineitems shipped within 30 days of
+    their order's date, counted per order priority (bucketed co-group
+    join; the range predicate filters inside the joined batches)."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table({"okey": t["l_orderkey"], "shipdate": t["l_shipdate"]}),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "odate": t["o_orderdate"],
+                "priority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucketed_hash_join(li, orders, key="okey", n_buckets=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = df["shipdate"] <= df["odate"] + pd.Timedelta(days=30)
+        if not keep.any():
+            return pa.table(
+                {
+                    "priority": pa.array([], type=pa.string()),
+                    "n_recent": pa.array([], type=pa.int64()),
+                }
+            )
+        g = df[keep].groupby("priority", as_index=False).agg(
+            n_recent=("priority", "size")
+        )
+        return table_from_pandas(g)
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(Sum("n_recent", alias_name="n_recent"))
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL) ops
+def q_dedup_clusters(sf_dir: str):
+    """End-to-end near-dup clustering: MinHash-LSH candidates →
+    join-verified Jaccard ≥ 0.6 → join-based connected components →
+    (component, n_docs) cluster sizes.  Nothing corpus-sized touches
+    the driver at any stage."""
+    from crawler_ray.stages.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+        verify_jaccard_joined,
+    )
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, num_perm=64, num_bands=16)
+    verified = verify_jaccard_joined(pairs, ds, threshold=0.6)
+    labels = connected_components(verified)
+    pdf = labels.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"component": [], "n_docs": []})
+    g = pdf.groupby("label", as_index=False).agg(n_docs=("node", "size"))
+    g = g.rename(columns={"label": "component"})
+    return g.sort_values("component").reset_index(drop=True)
+
+
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs, Jaccard-verified ≥ 0.6.
 
@@ -1064,6 +1159,16 @@ ORACLE_SQL: dict[str, str] = {
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM lagged GROUP BY user_id"
     ),
     "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
+    "source_profile": (
+        "SELECT source, COUNT(DISTINCT lang) AS n_langs, "
+        "quantile_disc(n_chars, 0.5) AS median_chars FROM documents GROUP BY source"
+    ),
+    "recent_lineitems": (
+        "SELECT o.o_orderpriority AS priority, COUNT(*) AS n_recent "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY "
+        "GROUP BY o.o_orderpriority"
+    ),
     "packet_projection": (
         "SELECT doc_id, CASE WHEN length(text) > 500 THEN substr(text, 1, 500) || '...' "
         "ELSE text END AS extractedText, 'webpage_text' AS contentType FROM documents"
@@ -1112,7 +1217,10 @@ QUERIES = {
     "url_validity": q_url_validity,
     "site_identifier": q_site_identifier,
     "packet_full": q_packet_full,
+    "source_profile": q_source_profile,
+    "recent_lineitems": q_recent_lineitems,
     # non-SQL-expressible (driver records rows-only checks)
+    "dedup_clusters": q_dedup_clusters,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_blocks": q_simhash_blocks,
     "simhash_near_dups": q_simhash_near_dups,

@@ -19,6 +19,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from crawler_ray.functions.arrow_utils import table_from_pandas
+
 
 def _with_bucket(ds: Dataset, key: str, n_buckets: int, side: str) -> Dataset:
     def tag(batch: pa.Table) -> pa.Table:
@@ -60,12 +62,15 @@ def bucketed_hash_join(
         _with_bucket(right, key, n_buckets, "r")
     )
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        # return ARROW blocks (incl. the empty case): empty no-column
+        # pandas frames would pass through downstream map stages
+        # unconverted and crash later all-to-alls with mixed block types
         l = g[g["_side"] == "l"].drop(columns=["_side", "bucket"]).dropna(axis=1, how="all")
         r = g[g["_side"] == "r"].drop(columns=["_side", "bucket"]).dropna(axis=1, how="all")
         if l.empty or r.empty:
-            return pd.DataFrame()
-        return l.merge(r, on=key, how=how)
+            return pa.table({})
+        return table_from_pandas(l.merge(r, on=key, how=how))
 
     return tagged.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
 

@@ -280,6 +280,42 @@ def extract_links(
     return links
 
 
+def extract_links_with_context(
+    root: Node, current_url: str, cap: int = 100
+) -> list[dict]:
+    """Link-with-context extraction variant (reference
+    src/crawler/aio_extractor.py:147-157): every ``a[href]`` in document
+    order with anchor text ≥ 2 chars, URL absolutized and
+    fragment-stripped, http(s) schemes only (NO same-netloc
+    restriction), keeping ``{url, text[:100], context}`` where context
+    is the parent element's stripped text capped at 100 chars."""
+    out: list[dict] = []
+
+    def walk(node: Node) -> None:
+        # node is the parent of each child anchor we visit
+        for c in node.children:
+            if not isinstance(c, Node):
+                continue
+            if c.tag == "a":
+                href = c.attrs.get("href")
+                if href:
+                    text = c.text_content().strip()
+                    if text and len(text) >= 2:
+                        full = urljoin(current_url, href).split("#")[0]
+                        if urlparse(full).scheme in ("http", "https"):
+                            out.append(
+                                {
+                                    "url": full,
+                                    "text": text[:cap],
+                                    "context": node.get_text(strip=True)[:cap],
+                                }
+                            )
+            walk(c)
+
+    walk(root)
+    return out
+
+
 def extract_page(
     html: str, url: str, base_url: str, profile: str = "hp"
 ) -> dict | None:

@@ -221,3 +221,31 @@ def test_parse_batch_columns(ray_session):
     for i, o in enumerate(ok):
         if o:
             assert titles[i].startswith("Page ")
+
+
+def test_extract_links_with_context():
+    """aio_extractor.py:147-157 variant: {url, text, context} rows,
+    fragment-stripped, http(s) only, ≥2-char anchor text, 100-char caps."""
+    from crawler_ray.stages.parse import build_tree, extract_links_with_context
+
+    html = """
+    <html><body>
+      <p>Intro paragraph <a href="/docs#sec">Documentation</a> tail text.</p>
+      <div><a href="mailto:x@y.z">email me</a></div>
+      <div><a href="/a">X</a></div>
+      <nav><a href="http://other.example.org/page">External link</a></nav>
+    </body></html>
+    """
+    root = build_tree(html)
+    links = extract_links_with_context(root, "http://site.example.com/base/")
+    by_url = {l["url"]: l for l in links}
+    # fragment stripped + absolutized
+    assert "http://site.example.com/docs" in by_url
+    doc = by_url["http://site.example.com/docs"]
+    assert doc["text"] == "Documentation"
+    assert "Intro paragraph" in doc["context"] and len(doc["context"]) <= 100
+    # cross-host allowed (no same-netloc restriction in this variant)
+    assert "http://other.example.org/page" in by_url
+    # mailto scheme and 1-char anchors skipped
+    assert not any(u.startswith("mailto:") for u in by_url)
+    assert "http://site.example.com/a" not in by_url
