@@ -188,7 +188,7 @@ def run_scaling() -> None:
     # EITHER leg of the ratio; the max over N fresh processes estimates
     # the noise-free capability at each level, which is what a scaling
     # ratio is supposed to compare.  Override with BENCH_SCALING_REPEATS.
-    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")

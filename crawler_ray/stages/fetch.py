@@ -91,7 +91,12 @@ class LiveFetcher:
     aiohttp session built once per actor with the reference's connector
     envelope (pool 100 / 20-per-host, DNS cache 300 s — SURVEY §2.3).
     This sandbox has no network and no aiohttp, so construction raises;
-    the class documents exactly what a deployment swaps in."""
+    the class documents exactly what a deployment swaps in.  Pacing: a
+    live deployment builds the frontier with
+    ``PolitenessQueue(clock=time.monotonic)`` and the fetcher sleeps
+    ``politeness.wait_time(host)`` before each host's batch — wall-clock
+    enforcement of the same (priority, next_allowed) schedule the
+    simulated mode plans."""
 
     def __init__(self, max_retries: int = 3, timeout_s: float = 30.0):
         try:

@@ -127,3 +127,37 @@ def test_politeness_budget_and_order():
     pq2 = PolitenessQueue()
     pq2.restore(st)
     assert pq2.order() == ["b.test", "a.test"]
+
+
+def test_politeness_wall_clock_mode():
+    """Wall-clock politeness: budgets and reservations anchor to an
+    injected clock; idle time never banks free fetches; wait_time tells
+    a live fetcher how long to sleep."""
+    from crawler_ray.state.politeness import PolitenessQueue
+
+    t = {"now": 100.0}
+    pq = PolitenessQueue(clock=lambda: t["now"])
+    pq.register("a.example", crawl_delay=2.0)
+
+    # 10s horizon → 5 fetches of 2s fit
+    assert pq.budget("a.example", horizon=10.0) == 5
+    assert pq.wait_time("a.example") == 0.0
+    nxt = pq.reserve("a.example", 5)
+    assert nxt == 110.0
+    # still inside the cool-down: nothing fits a 6s horizon (cool-down
+    # ends at 110, window would start 10s from now)
+    assert pq.budget("a.example", horizon=6.0) == 0
+    assert pq.wait_time("a.example") == 10.0
+    # clock advances past next_allowed → full budget again, and the next
+    # reservation anchors at NOW (no banked credit for the idle gap)
+    t["now"] = 200.0
+    assert pq.wait_time("a.example") == 0.0
+    assert pq.budget("a.example", horizon=10.0) == 5
+    assert pq.reserve("a.example", 1) == 202.0
+
+    # simulated mode unchanged: pure virtual time
+    sim = PolitenessQueue()
+    sim.register("b.example", crawl_delay=2.0)
+    assert sim.budget("b.example", horizon=10.0) == 5
+    assert sim.reserve("b.example", 5) == 10.0
+    assert sim.wait_time("b.example") == 0.0
