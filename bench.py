@@ -190,10 +190,22 @@ def run_scaling() -> None:
     # ratio is supposed to compare.  Override with BENCH_SCALING_REPEATS.
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 
+    def host_probe() -> float:
+        """Single-threaded fixed-work probe (~1.0 s on a calm host): a
+        direct measure of neighbor-tenancy CPU steal at measurement
+        time, recorded so sub-par scaling samples are attributable."""
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(20_000_000):
+            s += i
+        return round(time.perf_counter() - t0, 2)
+
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
         best = None
+        probes = []
         for _ in range(repeats):
+            probes.append(host_probe())
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
                 env=env,
@@ -204,6 +216,7 @@ def run_scaling() -> None:
             r = json.loads(proc.stdout.strip().splitlines()[-1])
             if best is None or r["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
                 best = r
+        best["host_probe_s"] = probes
         return best
 
     out = {
@@ -223,6 +236,8 @@ def run_scaling() -> None:
                 "urls_per_sec_hi": thr_hi,
                 "sec_lo": r_lo["queries"]["crawl"],
                 "sec_hi": r_hi["queries"]["crawl"],
+                "host_probe_s_lo": r_lo["host_probe_s"],
+                "host_probe_s_hi": r_hi["host_probe_s"],
                 "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
             }
         )
