@@ -165,10 +165,13 @@ class CrawlEngine:
                 ),
             }
         )
-        # pre-split into blocks so fetch/parse parallelize across the pool
+        # pre-split into blocks so fetch/parse parallelize across the pool;
+        # target an even MULTIPLE of the CPU share (2p) so the last
+        # scheduling round isn't a straggler (e.g. 6 blocks on 4 CPUs =
+        # a 4+2 tail that idles half the cores for a full block time)
         n = table.num_rows
         p = parallelism or self.fetch_concurrency
-        chunk = max(1, min(self.fetch_batch_size, (n + p - 1) // p))
+        chunk = max(1, min(self.fetch_batch_size, (n + 2 * p - 1) // (2 * p)))
         tables = [table.slice(i, chunk) for i in range(0, n, chunk)]
         return ray.data.from_arrow(tables)
 
