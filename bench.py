@@ -35,6 +35,15 @@ CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "800"))
 CRAWL_MAX_PAGES = int(os.environ.get("BENCH_CRAWL_MAX_PAGES", "300"))
 CRAWL_PAGE_WEIGHT = int(os.environ.get("BENCH_CRAWL_PAGE_WEIGHT", "32"))
 CRAWL_FANOUT = int(os.environ.get("BENCH_CRAWL_FANOUT", "30"))
+# politeness wave horizon (seconds of per-host budget per wave); 0 =
+# profile batch-size formula only (the round-1-comparable default).
+# Note the horizon can only cap BELOW the profile batch size — wave
+# count is governed by the reference's batch formula
+# min(100, max_pages//10), so bigger waves come from a bigger
+# max_pages budget (reference HP env default is 2000 → 100 URLs/wave);
+# A/B at 16 CPUs showed the 5-wave HP config within noise of the
+# 12-wave default, so the default stays workload-comparable to round 1.
+CRAWL_WAVE_HORIZON = float(os.environ.get("BENCH_CRAWL_WAVE_HORIZON", "0"))
 
 BENCH_QUERIES = [
     "kb_pattern_aggregate",
@@ -105,9 +114,12 @@ def run_crawl_bench() -> dict:
         fetch_concurrency=NCPU,
         fetch_batch_size=320,
         feedback=True,
+        wave_horizon=CRAWL_WAVE_HORIZON,
     )
     t0 = time.perf_counter()
-    summary = eng.run_parallel()
+    summary = eng.run_parallel(
+        use_runner_actors=os.environ.get("BENCH_RUNNER_MODE", "actors") != "threads"
+    )
     dt = time.perf_counter() - t0
     return {
         "sec": dt,

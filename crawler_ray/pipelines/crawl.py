@@ -152,28 +152,12 @@ class CrawlEngine:
     def _wave_dataset(
         self, rows: list[dict], parallelism: int | None = None, wave: int | None = None
     ):
-        table = pa.table(
-            {
-                "site": pa.array([r["site"] for r in rows], type=pa.string()),
-                "url": pa.array([r["url"] for r in rows], type=pa.string()),
-                "base_url": pa.array([r["base_url"] for r in rows], type=pa.string()),
-                "dispatch_index": pa.array(
-                    [r["dispatch_index"] for r in rows], type=pa.int64()
-                ),
-                "wave": pa.array(
-                    [self.wave if wave is None else wave] * len(rows), type=pa.int32()
-                ),
-            }
+        return _build_wave_dataset(
+            rows,
+            self.wave if wave is None else wave,
+            self.fetch_batch_size,
+            parallelism or self.fetch_concurrency,
         )
-        # pre-split into blocks so fetch/parse parallelize across the pool;
-        # target an even MULTIPLE of the CPU share (2p) so the last
-        # scheduling round isn't a straggler (e.g. 6 blocks on 4 CPUs =
-        # a 4+2 tail that idles half the cores for a full block time)
-        n = table.num_rows
-        p = parallelism or self.fetch_concurrency
-        chunk = max(1, min(self.fetch_batch_size, (n + 2 * p - 1) // (2 * p)))
-        tables = [table.slice(i, chunk) for i in range(0, n, chunk)]
-        return ray.data.from_arrow(tables)
 
     def run_wave(self, web_ref) -> bool:
         """Plan + execute one wave; False when the crawl is complete."""
@@ -285,101 +269,24 @@ class CrawlEngine:
         return True
 
     # -- per-shard parallel wave loops --------------------------------
-    def _shard_loop(self, shard_idx: int, web_ref, start_wave: int = 0) -> dict:
-        """One shard's independent wave loop.  Per-site semantics are
-        identical to the global loop (a site lives on exactly one
-        shard); shards simply stop synchronizing with each other, so
-        executor fixed costs and ingest overlap across shards.
-
-        With a page sink, waves write to ``shard=<i>/wave=<k>`` dirs;
-        with a checkpoint dir, the shard's state is checkpointed after
-        *its own* every wave (shards are independent, so per-shard
-        checkpoints need no barrier)."""
-        shard = self.shards[shard_idx]
-        totals = {"dispatched": 0, "saved": 0, "filtered": 0, "waves": start_wave}
-        ctrl_cols = ["site", "url", "dispatch_index", "ok", "content_sha256", "page_links"]
-        if self.feedback:
-            ctrl_cols.append("fb_score")
-        wave = start_wave
-        while True:
-            t_wave0 = time.perf_counter()
-            rows = ray.get(shard.plan_wave.remote(self.wave_horizon))
-            if not rows:
-                break
-            ds = self._wave_dataset(
-                rows,
-                parallelism=max(1, self.fetch_concurrency // self.num_shards),
-                wave=wave,
-            )
-            ds = ds.map_batches(
-                crawl_wave_stateless,
-                fn_args=(web_ref, self.route_attachments, self.link_cap),
-                batch_size=None,  # whole input block per task (no coalescing)
-                batch_format="pyarrow",
-            )
-            if self.feedback:
-                prompts = self.prompts
-
-                def fb(batch: pa.Table) -> pa.Table:
-                    return FeedbackScorer(prompts)(batch)
-
-                ds = ds.map_batches(fb, batch_size=None, batch_format="pyarrow")
-            if self.output_dir:
-                mat = ds.materialize()
-                wave_dir = os.path.join(
-                    self.output_dir, f"shard={shard_idx}", f"wave={wave:05d}"
-                )
-                mat.drop_columns(
-                    ["page_links", "wave", "failed_attachments"]
-                ).write_parquet(wave_dir)
-                self._sink_failed_attachments(
-                    mat, os.path.join(f"shard={shard_idx}", f"wave={wave:05d}")
-                )
-                block_refs = mat.select_columns(ctrl_cols).to_arrow_refs()
-            else:
-                ds = ds.map_batches(
-                    lambda t, cols=tuple(ctrl_cols): t.select(list(cols)),
-                    batch_format="pyarrow",
-                )
-                block_refs = [
-                    r
-                    for bundle in ds.iter_internal_ref_bundles()
-                    for r in bundle.block_refs
-                ]
-            out = ray.get(shard.ingest_wave.remote(block_refs, self.feedback))
-            if self.checkpoint_dir:
-                self._checkpoint_shard(shard_idx, wave)
-            totals["dispatched"] += len(rows)
-            totals["saved"] += out["saved"]
-            totals["filtered"] += len(rows) - out["ok"]
-            totals["waves"] = wave + 1
-            # per-partition lineage/metrics row (partition = shard)
-            self._metrics_lock_append(
-                {
-                    "wave": wave,
-                    "partition": shard_idx,
-                    "fetched": len(rows),
-                    "parsed": out["ok"],
-                    "filtered": len(rows) - out["ok"],
-                    "accepted": out["saved"],
-                    "wall_s": time.perf_counter() - t_wave0,
-                }
-            )
-            wave += 1
-        return totals
-
-    def _metrics_lock_append(self, row: dict) -> None:
-        with self._metrics_lock:
-            self.metrics.append(row)
+    def _shard_cfg(self) -> dict:
+        return {
+            "wave_horizon": self.wave_horizon,
+            "fetch_concurrency": self.fetch_concurrency,
+            "fetch_batch_size": self.fetch_batch_size,
+            "num_shards": self.num_shards,
+            "route_attachments": self.route_attachments,
+            "link_cap": self.link_cap,
+            "feedback": self.feedback,
+            "prompts": self.prompts,
+            "output_dir": self.output_dir,
+            "checkpoint_dir": self.checkpoint_dir,
+        }
 
     def _checkpoint_shard(self, shard_idx: int, wave: int) -> None:
-        blob = ray.get(self.shards[shard_idx].checkpoint_blob.remote())
-        shard_dir = os.path.join(self.checkpoint_dir, f"shard_{shard_idx}")
-        os.makedirs(shard_dir, exist_ok=True)
-        tmp = os.path.join(shard_dir, f".tmp_wave_{wave:05d}.pkl")
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, os.path.join(shard_dir, f"wave_{wave:05d}.pkl"))
+        _checkpoint_shard_blob(
+            self.shards[shard_idx], shard_idx, wave, self.checkpoint_dir
+        )
 
     def restore_parallel(self) -> dict[int, int]:
         """Restore each shard from its own latest per-wave checkpoint;
@@ -415,7 +322,11 @@ class CrawlEngine:
                             shutil.rmtree(os.path.join(sdir, d))
         return next_waves
 
-    def run_parallel(self, start_waves: dict[int, int] | None = None) -> dict:
+    def run_parallel(
+        self,
+        start_waves: dict[int, int] | None = None,
+        use_runner_actors: bool = False,
+    ) -> dict:
         """Run every shard's wave loop concurrently (driver threads).
 
         The wave-synchronous ordering contract is per-site, and a site
@@ -424,23 +335,46 @@ class CrawlEngine:
         fetch/parse.  Pages (if ``output_dir``) land in
         ``shard=<i>/wave=<k>`` partitions; checkpoints (if configured)
         are per shard per wave — resume via :meth:`restore_parallel`.
-        """
-        from concurrent.futures import ThreadPoolExecutor
 
+        Each shard's loop runs in its own supervisor ACTOR process
+        (``_ShardWaveRunner``): N shards drive N independent streaming
+        executors instead of N executor threads sharing the driver's
+        GIL — and on a real cluster this is the per-node wave-driver
+        shape (`ray job submit` starts one driver; the runners fan the
+        coordination out).
+        """
         web_ref = ray.put(self.web)
         starts = start_waves or {}
-        with ThreadPoolExecutor(max_workers=self.num_shards) as pool:
-            results = list(
-                pool.map(
-                    lambda i: self._shard_loop(i, web_ref, starts.get(i, 0)),
-                    range(self.num_shards),
+        cfg = self._shard_cfg()
+        if use_runner_actors:
+            runners = [_ShardWaveRunner.remote() for _ in range(self.num_shards)]
+            futs = [
+                r.run.remote(self.shards[i], i, [web_ref], cfg, starts.get(i, 0))
+                for i, r in enumerate(runners)
+            ]
+            results = ray.get(futs)
+            for r in runners:
+                ray.kill(r)
+        else:
+            # driver-thread fallback (all executors share this process)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_shards) as pool:
+                results = list(
+                    pool.map(
+                        lambda i: _run_shard_waves(
+                            self.shards[i], i, web_ref, cfg, starts.get(i, 0)
+                        ),
+                        range(self.num_shards),
+                    )
                 )
-            )
         for r in results:
-            self.totals["dispatched"] += r["dispatched"]
-            self.totals["saved"] += r["saved"]
-            self.totals["filtered"] += r["filtered"]
-            self.wave = max(self.wave, r["waves"])
+            t = r["totals"]
+            self.totals["dispatched"] += t["dispatched"]
+            self.totals["saved"] += t["saved"]
+            self.totals["filtered"] += t["filtered"]
+            self.wave = max(self.wave, t["waves"])
+            self.metrics.extend(r["metrics"])
         if self.output_dir and self.metrics:
             pq.write_table(
                 pa.Table.from_pylist(sorted(self.metrics, key=lambda m: (m["partition"], m["wave"]))),
@@ -480,38 +414,7 @@ class CrawlEngine:
 
     # -- forensics side table ------------------------------------------
     def _sink_failed_attachments(self, mat, subdir: str) -> None:
-        """Explode per-page attachment parse failures into the
-        ``<output>_failed_attachments/<subdir>`` side table (the
-        reference's per-failure raw-bytes + .meta.json archive,
-        data_extractor_2.py:145-161).  A failure appears BOTH here and
-        as a ``media_failed`` span in the pages table."""
-
-        def explode(batch: pa.Table) -> pa.Table:
-            cols = {
-                "site": [], "page_url": [], "name": [],
-                "attachment_url": [], "reason": [], "payload_ref": [],
-            }
-            for site, url, fails in zip(
-                batch["site"].to_pylist(),
-                batch["url"].to_pylist(),
-                batch["failed_attachments"].to_pylist(),
-            ):
-                for f in fails or []:
-                    cols["site"].append(site)
-                    cols["page_url"].append(url)
-                    cols["name"].append(f["name"])
-                    cols["attachment_url"].append(f["attachment_url"])
-                    cols["reason"].append(f["reason"])
-                    cols["payload_ref"].append(f["payload_ref"])
-            return pa.table(
-                {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
-            )
-
-        fails = mat.map_batches(explode, batch_format="pyarrow").materialize()
-        if fails.count() > 0:
-            fails.write_parquet(
-                os.path.join(f"{self.output_dir}_failed_attachments", subdir)
-            )
+        _sink_failed_attachments_to(mat, self.output_dir, subdir)
 
     # -- checkpoint / resume -------------------------------------------
     def _checkpoint(self) -> None:
@@ -574,3 +477,177 @@ class CrawlEngine:
 
                         shutil.rmtree(os.path.join(root, d))
         return self.wave
+
+
+# ---------------------------------------------------------------------
+# module-level wave machinery (shared by the sequential engine path and
+# the per-shard supervisor actors)
+def _build_wave_dataset(
+    rows: list[dict], wave: int, batch_size: int, parallelism: int
+):
+    table = pa.table(
+        {
+            "site": pa.array([r["site"] for r in rows], type=pa.string()),
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "base_url": pa.array([r["base_url"] for r in rows], type=pa.string()),
+            "dispatch_index": pa.array(
+                [r["dispatch_index"] for r in rows], type=pa.int64()
+            ),
+            "wave": pa.array([wave] * len(rows), type=pa.int32()),
+        }
+    )
+    # pre-split into blocks so fetch/parse parallelize across the pool;
+    # target an even MULTIPLE of the CPU share (2p) so the last
+    # scheduling round isn't a straggler (e.g. 6 blocks on 4 CPUs =
+    # a 4+2 tail that idles half the cores for a full block time)
+    n = table.num_rows
+    p = max(1, parallelism)
+    chunk = max(1, min(batch_size, (n + 2 * p - 1) // (2 * p)))
+    tables = [table.slice(i, chunk) for i in range(0, n, chunk)]
+    return ray.data.from_arrow(tables)
+
+
+def _sink_failed_attachments_to(mat, output_dir: str, subdir: str) -> None:
+    """Explode per-page attachment parse failures into the
+    ``<output>_failed_attachments/<subdir>`` side table (the
+    reference's per-failure raw-bytes + .meta.json archive,
+    data_extractor_2.py:145-161).  A failure appears BOTH here and
+    as a ``media_failed`` span in the pages table."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = {
+            "site": [], "page_url": [], "name": [],
+            "attachment_url": [], "reason": [], "payload_ref": [],
+        }
+        for site, url, fails in zip(
+            batch["site"].to_pylist(),
+            batch["url"].to_pylist(),
+            batch["failed_attachments"].to_pylist(),
+        ):
+            for f in fails or []:
+                cols["site"].append(site)
+                cols["page_url"].append(url)
+                cols["name"].append(f["name"])
+                cols["attachment_url"].append(f["attachment_url"])
+                cols["reason"].append(f["reason"])
+                cols["payload_ref"].append(f["payload_ref"])
+        return pa.table({k: pa.array(v, type=pa.string()) for k, v in cols.items()})
+
+    fails = mat.map_batches(explode, batch_format="pyarrow").materialize()
+    if fails.count() > 0:
+        fails.write_parquet(os.path.join(f"{output_dir}_failed_attachments", subdir))
+
+
+def _checkpoint_shard_blob(shard, shard_idx: int, wave: int, checkpoint_dir: str) -> None:
+    blob = ray.get(shard.checkpoint_blob.remote())
+    shard_dir = os.path.join(checkpoint_dir, f"shard_{shard_idx}")
+    os.makedirs(shard_dir, exist_ok=True)
+    tmp = os.path.join(shard_dir, f".tmp_wave_{wave:05d}.pkl")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, os.path.join(shard_dir, f"wave_{wave:05d}.pkl"))
+
+
+def _run_shard_waves(shard, shard_idx: int, web_ref, cfg: dict, start_wave: int = 0) -> dict:
+    """One shard's independent wave loop.  Per-site semantics are
+    identical to the global loop (a site lives on exactly one shard);
+    shards simply stop synchronizing with each other, so executor fixed
+    costs and ingest overlap across shards.
+
+    With a page sink, waves write to ``shard=<i>/wave=<k>`` dirs; with a
+    checkpoint dir, the shard's state is checkpointed after *its own*
+    every wave (shards are independent, so per-shard checkpoints need
+    no barrier)."""
+    totals = {"dispatched": 0, "saved": 0, "filtered": 0, "waves": start_wave}
+    metrics: list[dict] = []
+    ctrl_cols = ["site", "url", "dispatch_index", "ok", "content_sha256", "page_links"]
+    if cfg["feedback"]:
+        ctrl_cols.append("fb_score")
+    wave = start_wave
+    while True:
+        t_wave0 = time.perf_counter()
+        rows = ray.get(shard.plan_wave.remote(cfg["wave_horizon"]))
+        if not rows:
+            break
+        ds = _build_wave_dataset(
+            rows,
+            wave,
+            cfg["fetch_batch_size"],
+            max(1, cfg["fetch_concurrency"] // cfg["num_shards"]),
+        )
+        ds = ds.map_batches(
+            crawl_wave_stateless,
+            fn_args=(web_ref, cfg["route_attachments"], cfg["link_cap"]),
+            batch_size=None,  # whole input block per task (no coalescing)
+            batch_format="pyarrow",
+        )
+        if cfg["feedback"]:
+            prompts = cfg["prompts"]
+
+            def fb(batch: pa.Table) -> pa.Table:
+                return FeedbackScorer(prompts)(batch)
+
+            ds = ds.map_batches(fb, batch_size=None, batch_format="pyarrow")
+        if cfg["output_dir"]:
+            mat = ds.materialize()
+            wave_dir = os.path.join(
+                cfg["output_dir"], f"shard={shard_idx}", f"wave={wave:05d}"
+            )
+            mat.drop_columns(
+                ["page_links", "wave", "failed_attachments"]
+            ).write_parquet(wave_dir)
+            _sink_failed_attachments_to(
+                mat, cfg["output_dir"], os.path.join(f"shard={shard_idx}", f"wave={wave:05d}")
+            )
+            block_refs = mat.select_columns(ctrl_cols).to_arrow_refs()
+        else:
+            ds = ds.map_batches(
+                lambda t, cols=tuple(ctrl_cols): t.select(list(cols)),
+                batch_format="pyarrow",
+            )
+            block_refs = [
+                r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs
+            ]
+        out = ray.get(shard.ingest_wave.remote(block_refs, cfg["feedback"]))
+        if cfg["checkpoint_dir"]:
+            _checkpoint_shard_blob(shard, shard_idx, wave, cfg["checkpoint_dir"])
+        totals["dispatched"] += len(rows)
+        totals["saved"] += out["saved"]
+        totals["filtered"] += len(rows) - out["ok"]
+        totals["waves"] = wave + 1
+        # per-partition lineage/metrics row (partition = shard)
+        metrics.append(
+            {
+                "wave": wave,
+                "partition": shard_idx,
+                "fetched": len(rows),
+                "parsed": out["ok"],
+                "filtered": len(rows) - out["ok"],
+                "accepted": out["saved"],
+                "wall_s": time.perf_counter() - t_wave0,
+            }
+        )
+        wave += 1
+    return {"totals": totals, "metrics": metrics}
+
+
+@ray.remote(num_cpus=0)
+class _ShardWaveRunner:
+    """Per-shard wave-loop supervisor: one actor PROCESS per shard, so
+    N shards drive N independent streaming executors instead of N
+    executor threads contending for the engine driver's GIL.  On a
+    multi-node cluster this is the per-node wave-driver shape; locally
+    it removes the driver as a coordination bottleneck.  ``num_cpus=0``
+    — the runner only coordinates; the wave's tasks carry the CPU
+    requests."""
+
+    def __init__(self):
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+    def run(self, shard, shard_idx: int, web_ref_box: list, cfg: dict, start_wave: int = 0) -> dict:
+        # web_ref arrives boxed in a list so Ray does NOT auto-deref it:
+        # the runner forwards the REF to map_batches tasks (worker-global
+        # cache keys on the ref, and the web is never copied per actor)
+        return _run_shard_waves(shard, shard_idx, web_ref_box[0], cfg, start_wave)

@@ -815,7 +815,73 @@ def q_recent_lineitems(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- 14e
+def q_salted_hot_key_agg(sf_dir: str):
+    """Skew-safe grouped aggregate: key_histogram picks heavy hitters,
+    hot keys fan out over ``key#salt`` sub-keys (no single reduce
+    partition receives a whole hot group), then a second tiny groupby
+    merges the sub-aggregates.  Values equal the plain GROUP BY — the
+    salting is invisible to the result, which is the point."""
+    from crawler_ray.stages.shuffle import add_salted_key, hot_keys_above
+
+    ds = _doc(sf_dir, ["source", "n_chars"])
+    hot = hot_keys_above(ds, "source", fraction=0.04)
+    salted = add_salted_key(ds, "source", n_salt=4, hot_keys=hot)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("salted_key", as_index=False).agg(
+            n=("n_chars", "size"), total=("n_chars", "sum")
+        )
+        return table_from_pandas(df)
+
+    sub = (
+        salted.map_batches(partial, batch_format="pyarrow")
+        .groupby("salted_key")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+
+    def unsalt(batch: pa.Table) -> pa.Table:
+        src = [k.rsplit("#", 1)[0] for k in batch["salted_key"].to_pylist()]
+        return pa.table(
+            {
+                "source": pa.array(src, type=pa.string()),
+                "n": batch["n"],
+                "total": batch["total"],
+            }
+        )
+
+    return (
+        sub.map_batches(unsalt, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_docs"), Sum("total", alias_name="total_chars")
+        )
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL) ops
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN top-10 for the same query as q_ann_topk (n_cells=16,
+    nprobe=8 — the scale path pruning ~half the cells; seeded centroid
+    training keeps the result deterministic)."""
+    from crawler_ray.stages.ann import ivf_topk
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = ds.filter(expr=f"vec_id == {ANN_QUERY_ID}").take(1)[0]
+    dim = len(qrow["embedding"])
+    queries = {
+        "query_id": [ANN_QUERY_ID],
+        "embedding": [np.asarray(qrow["embedding"], dtype=np.float64)],
+    }
+    rest = ds.filter(expr=f"vec_id != {ANN_QUERY_ID}")
+    pdf = ivf_topk(rest, queries, dim=dim, k=ANN_K, n_cells=16, nprobe=8)
+    pdf = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    return pdf[["vec_id", "rank"]]
+
+
 def q_dedup_clusters(sf_dir: str):
     """End-to-end near-dup clustering: MinHash-LSH candidates →
     join-verified Jaccard ≥ 0.6 → join-based connected components →
@@ -1169,6 +1235,10 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY "
         "GROUP BY o.o_orderpriority"
     ),
+    "salted_hot_key_agg": (
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source"
+    ),
     "packet_projection": (
         "SELECT doc_id, CASE WHEN length(text) > 500 THEN substr(text, 1, 500) || '...' "
         "ELSE text END AS extractedText, 'webpage_text' AS contentType FROM documents"
@@ -1219,8 +1289,10 @@ QUERIES = {
     "packet_full": q_packet_full,
     "source_profile": q_source_profile,
     "recent_lineitems": q_recent_lineitems,
+    "salted_hot_key_agg": q_salted_hot_key_agg,
     # non-SQL-expressible (driver records rows-only checks)
     "dedup_clusters": q_dedup_clusters,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_blocks": q_simhash_blocks,
     "simhash_near_dups": q_simhash_near_dups,
