@@ -116,9 +116,13 @@ def run_crawl_bench() -> dict:
         feedback=True,
         wave_horizon=CRAWL_WAVE_HORIZON,
     )
+    # default THREADS: the measured-faster local mode (BASELINE.md A/B —
+    # driver threads beat per-shard runner actors locally because actor
+    # RPC hops cost more than the GIL here); runner actors remain the
+    # multi-node shape, selectable via BENCH_RUNNER_MODE=actors
     t0 = time.perf_counter()
     summary = eng.run_parallel(
-        use_runner_actors=os.environ.get("BENCH_RUNNER_MODE", "actors") != "threads"
+        use_runner_actors=os.environ.get("BENCH_RUNNER_MODE", "threads") == "actors"
     )
     dt = time.perf_counter() - t0
     return {

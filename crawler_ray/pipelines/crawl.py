@@ -123,9 +123,6 @@ class CrawlEngine:
         self.fetch_batch_size = fetch_batch_size
         self.wave_horizon = wave_horizon
         self.stateless_fetch = stateless_fetch
-        import threading
-
-        self._metrics_lock = threading.Lock()
         self.metrics: list[dict] = []
         self.wave = 0
         self.totals = {"dispatched": 0, "saved": 0, "filtered": 0}
@@ -315,8 +312,17 @@ class CrawlEngine:
             done_wave = int(last[len("wave_") : -len(".pkl")])
             next_waves[i] = done_wave + 1
             if self.output_dir:
-                sdir = os.path.join(self.output_dir, f"shard={i}")
-                if os.path.isdir(sdir):
+                # prune BOTH the page partitions and the matching
+                # forensics partitions past the restored wave — a re-run
+                # wave would otherwise append fresh parquet next to the
+                # stale files and duplicate rows
+                for root in (
+                    self.output_dir,
+                    f"{self.output_dir}_failed_attachments",
+                ):
+                    sdir = os.path.join(root, f"shard={i}")
+                    if not os.path.isdir(sdir):
+                        continue
                     for d in os.listdir(sdir):
                         if d.startswith("wave=") and int(d.split("=")[1]) > done_wave:
                             shutil.rmtree(os.path.join(sdir, d))
@@ -436,11 +442,20 @@ class CrawlEngine:
             )
         # a re-run wave after restoring an older-than-latest checkpoint
         # leaves the old dir behind; os.replace on a non-empty dir raises
-        # ENOTEMPTY, so clear it first
+        # ENOTEMPTY.  Crash-safe swap: move the old dir ASIDE (atomic
+        # rename), install the new one (atomic rename), then delete the
+        # old — a crash between the renames leaves either the previous
+        # or the new checkpoint fully intact, never a half-written one
+        # (latest_checkpoint ignores the aside dir: its ``.old_`` prefix
+        # fails the ``wave_`` name match).
         import shutil
 
-        shutil.rmtree(final, ignore_errors=True)
+        old = os.path.join(self.checkpoint_dir, f".old_wave_{self.wave:05d}")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.replace(final, old)
         os.replace(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
 
     @staticmethod
     def latest_checkpoint(checkpoint_dir: str) -> str | None:
@@ -466,6 +481,18 @@ class CrawlEngine:
         ray.get(futures)
         self.wave = manifest["wave"] + 1
         self.totals = dict(manifest["totals"])
+        # prune stale LATER checkpoints from the abandoned run: we are
+        # about to delete those waves' page output, so leaving their
+        # checkpoint dirs behind would make the NEXT latest_checkpoint()
+        # resume jump past waves whose output no longer exists
+        # (permanent gaps in the page sink)
+        ckpt_root = os.path.dirname(os.path.abspath(ckpt_path))
+        if os.path.isdir(ckpt_root):
+            import shutil
+
+            for d in os.listdir(ckpt_root):
+                if d.startswith("wave_") and int(d.split("_")[1]) > manifest["wave"]:
+                    shutil.rmtree(os.path.join(ckpt_root, d))
         # drop any page (and forensics) output from waves after the checkpoint
         if self.output_dir:
             for root in (self.output_dir, f"{self.output_dir}_failed_attachments"):
@@ -639,7 +666,15 @@ class _ShardWaveRunner:
     multi-node cluster this is the per-node wave-driver shape; locally
     it removes the driver as a coordination bottleneck.  ``num_cpus=0``
     — the runner only coordinates; the wave's tasks carry the CPU
-    requests."""
+    requests.
+
+    Deployment requirement: the runner writes checkpoints and
+    page/forensics parquet through ``cfg``'s plain filesystem paths
+    from whichever node hosts the actor — on a real cluster those paths
+    must be on a SHARED filesystem (NFS / FUSE-mounted object store),
+    or the driver's ``restore_parallel`` / metrics reads won't see
+    them.  (Alternative for share-nothing clusters: route the blobs
+    back to the driver via the object store and write there.)"""
 
     def __init__(self):
         from ray.data import DataContext

@@ -34,6 +34,7 @@ def crawl_and_refine(
     docs_dir: str | None = None,
     num_shards: int = 2,
     feedback: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
     **engine_kwargs,
 ) -> Dataset:
     """Crawl the (synthetic) web, then refine the crawled pages into the
@@ -66,11 +67,23 @@ def crawl_and_refine(
         ).append_column("site_identifier", batch["site"])
 
     docs = pages.map_batches(to_doc_ids, batch_format="pyarrow")
-    refined = filter_interleaved(docs, prompts_by_site=prompts, concurrency=2)
+    refined = filter_interleaved(
+        docs, prompts_by_site=prompts, concurrency=concurrency or _default_pool()
+    )
     if docs_dir:
         refined.write_parquet(docs_dir)
         return rd.read_parquet(docs_dir)
     return refined
+
+
+def _default_pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bound derived from the cluster size (no
+    hard concurrency pin — a fixed ``2`` would starve the gatekeeper/
+    analyzer pools on any larger cluster)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, ncpu // 2))
 
 
 # ------------------------------------------------------- incremental
@@ -83,6 +96,7 @@ def refine_new_waves(
     docs_dir: str,
     prompts_by_site: dict[str, str] | None = None,
     default_prompt: str = "",
+    concurrency: int | tuple[int, int] | None = None,
 ) -> list[str]:
     """Process crawl wave partitions that are not yet in the refine
     manifest; returns the list of newly-refined partition names.
@@ -108,7 +122,7 @@ def refine_new_waves(
         docs = ds.map_batches(to_doc, batch_format="pyarrow")
         refined = filter_interleaved(
             docs, prompts_by_site=prompts_by_site, default_prompt=default_prompt,
-            concurrency=2,
+            concurrency=concurrency or _default_pool(),
         )
         # plain (non-hive) partition dir name: the refined rows carry no
         # wave column, so a `wave=` dir would make readers infer a

@@ -105,13 +105,13 @@ def filter_interleaved(
     ds: Dataset,
     prompts_by_site: dict[str, str] | None = None,
     default_prompt: str = "",
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = 4,
     batch_size: int = 512,
 ) -> Dataset:
     return ds.map_batches(
         SpanWorkerStage,
         fn_constructor_args=(prompts_by_site, default_prompt),
-        concurrency=(1, concurrency),
+        concurrency=concurrency if isinstance(concurrency, tuple) else (1, concurrency),
         batch_size=batch_size,
         batch_format="pyarrow",
         num_cpus=1,
@@ -158,10 +158,12 @@ def kb_feedback_aggregate(filtered: Dataset, url_col: str = "doc_id") -> Dataset
         )
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
         df["avg_score"] = np.where(
             df["count"] > 0, (df["total_score"] / df["count"]).round(3), 0.0
         )
-        return df
+        return table_from_pandas(df)
 
     return agg.map_batches(finalize, batch_format="pandas")

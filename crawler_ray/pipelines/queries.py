@@ -195,6 +195,11 @@ def q_nation_order_stats(sf_dir: str):
     ).to_pandas()
     cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    # broadcast threshold: this dict-broadcast join is right while the
+    # small side fits comfortably in the object store (customer is
+    # ~SF × 150k rows × 2 ints ≈ 2.4 MB/SF — fine up to SF in the
+    # thousands); past that, switch to stages.joins.bucketed_hash_join
+    # (customer grows with SF; nation/region never do)
     lookup_ref = ray.put((cust_map, nation_map))
 
     orders = _read(
@@ -280,25 +285,42 @@ SESSION_GAP_S = 1800
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows per user (gap > 30 min starts a new session):
-    groupby(user).map_groups over ts-sorted events."""
+    """Session windows per user (gap > 30 min starts a new session).
+
+    Shuffle by a BOUNDED hash-partition key (hash(user) % 16), not the
+    raw user id: one vectorized pandas pass per partition handles all
+    its users (sort by (user, ts) + per-user diff) instead of one
+    Python ``map_groups`` call per user — thousands of tiny per-user
+    groups is the classic groupby trap, and at 100 TB the per-user
+    variant would also make the sort-shuffle key cardinality the user
+    count."""
     ds = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        new_s = (gaps.isna() | (gaps > SESSION_GAP_S)).astype(int)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_s.sum())],
-            }
-        )
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(16)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        g = g.assign(new_s=(gaps.isna() | (gaps > SESSION_GAP_S)).astype(np.int64))
+        out = g.groupby("user_id", as_index=False, sort=False).agg(
+            n_events=("new_s", "size"), n_sessions=("new_s", "sum")
+        )
+        return table_from_pandas(out)
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(sessions_part, batch_format="pandas")
+    )
 
 
 # ----------------------------------------------------------------- 4b
@@ -372,9 +394,13 @@ def q_group_topk(sf_dir: str):
     desc, doc_id asc tiebreak) — groupby().map_groups sorted head."""
     ds = _doc(sf_dir, ["doc_id", "source", "n_chars"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(
-            GROUP_TOPK
+    def topk(g: pd.DataFrame) -> pa.Table:
+        # arrow return: raw DataFrames re-attach the unhashable b'pandas'
+        # schema metadata downstream (reduce-side warning spam)
+        return table_from_pandas(
+            g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(
+                GROUP_TOPK
+            )
         )
 
     return ds.groupby("source").map_groups(topk, batch_format="pandas")
@@ -514,7 +540,9 @@ def q_order_lineitem_join(sf_dir: str):
         batch_format="pyarrow",
     )
     joined = bucketed_hash_join(
-        li.map_batches(li_prep, batch_format="pyarrow"), orders, key="okey", n_buckets=16
+        li.map_batches(li_prep, batch_format="pyarrow"), orders, key="okey", n_buckets=16,
+        left_schema=pa.schema([("okey", pa.int64()), ("price_cents", pa.int64())]),
+        right_schema=pa.schema([("okey", pa.int64()), ("priority", pa.string())]),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -752,15 +780,17 @@ def q_source_profile(sf_dir: str):
     approximate path at scale is a t-digest-style sketch."""
     ds = _doc(sf_dir, ["source", "lang", "n_chars"])
 
-    def prof(g: pd.DataFrame) -> pd.DataFrame:
+    def prof(g: pd.DataFrame) -> pa.Table:
         v = np.sort(g["n_chars"].to_numpy())
         idx = max(int(np.ceil(0.5 * len(v))) - 1, 0)
-        return pd.DataFrame(
-            {
-                "source": [g["source"].iloc[0]],
-                "n_langs": [np.int64(g["lang"].nunique())],
-                "median_chars": [np.int64(v[idx])],
-            }
+        return table_from_pandas(
+            pd.DataFrame(
+                {
+                    "source": [g["source"].iloc[0]],
+                    "n_langs": [np.int64(g["lang"].nunique())],
+                    "median_chars": [np.int64(v[idx])],
+                }
+            )
         )
 
     return ds.groupby("source").map_groups(prof, batch_format="pandas")
@@ -791,7 +821,19 @@ def q_recent_lineitems(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j = bucketed_hash_join(li, orders, key="okey", n_buckets=16)
+    j = bucketed_hash_join(
+        li, orders, key="okey", n_buckets=16,
+        left_schema=pa.schema(
+            [("okey", pa.int64()), ("shipdate", pa.timestamp("us"))]
+        ),
+        right_schema=pa.schema(
+            [
+                ("okey", pa.int64()),
+                ("odate", pa.timestamp("us")),
+                ("priority", pa.string()),
+            ]
+        ),
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

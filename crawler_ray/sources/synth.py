@@ -291,8 +291,27 @@ def interleaved_documents(n_docs: int = 200, seed: int = 42) -> pa.Table:
                         "media_failed", "", f"files/bad{int(rng.integers(0, 500))}.hwp", off
                     )
                 )
+        # canonical form: coalesce ADJACENT text spans — the reference's
+        # main_text serialization concatenates text runs verbatim, so
+        # two adjacent text spans are indistinguishable after a
+        # render→parse round trip; the canonical interleaved table has
+        # exactly one text span between media markers (what a real
+        # html-main-text + attachment-blocks page produces)
+        coalesced: list[dict] = []
+        for s in spans:
+            if coalesced and s["kind"] == "text" and coalesced[-1]["kind"] == "text":
+                coalesced[-1] = make_span(
+                    "text",
+                    coalesced[-1]["text"] + s["text"],
+                    "",
+                    coalesced[-1]["offset"],
+                )
+            else:
+                coalesced.append(
+                    make_span(s["kind"], s["text"], s["media_ref"], len(coalesced))
+                )
         doc_ids.append(f"doc{i:06d}")
-        span_rows.append(spans)
+        span_rows.append(coalesced)
     return pa.table(
         {"doc_id": pa.array(doc_ids, type=pa.string()), "spans": spans_array(span_rows)}
     )

@@ -68,8 +68,13 @@ def exact_dedup_first(
     """
     hashed = add_content_hash(ds, text_col)
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def first_per_group(g: pd.DataFrame) -> pa.Table:
+        # return ARROW (hashable schema) — raw DataFrames re-attach the
+        # unhashable b'pandas' metadata via Ray's conversion and spam
+        # "Failed to hash the schemas" from every reduce worker
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
+        return table_from_pandas(g.sort_values(id_col).head(1))
 
     return hashed.groupby("content_hash").map_groups(
         first_per_group, batch_format="pandas"
@@ -167,7 +172,9 @@ def minhash_candidate_pairs(
     # block; explode projects what it needs and fuses with the sig stage
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_partition(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
         frames = []
         for _, grp in g.groupby("band_key", sort=False):
             members = np.sort(grp[id_col].to_numpy())
@@ -192,14 +199,14 @@ def minhash_candidate_pairs(
                 )
             )
         if not frames:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                    "bucket_capped": pd.Series(dtype="int64"),
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "bucket_capped": pa.array([], type=pa.int64()),
                 }
             )
-        return pd.concat(frames, ignore_index=True)
+        return table_from_pandas(pd.concat(frames, ignore_index=True))
 
     pairs = exploded.groupby("pkey").map_groups(
         pairs_of_partition, batch_format="pandas"
@@ -242,6 +249,8 @@ def verify_jaccard_joined(
     j = bucketed_hash_join(
         slim, docs.map_batches(as_a, batch_format="pyarrow"), key="id_a",
         n_buckets=n_buckets,
+        left_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+        right_schema=pa.schema([("id_a", pa.int64()), ("text_a", pa.string())]),
     )
 
     def fix_ids(t: pa.Table) -> pa.Table:
@@ -260,6 +269,10 @@ def verify_jaccard_joined(
         docs.map_batches(as_b, batch_format="pyarrow"),
         key="id_b",
         n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("text_a", pa.string())]
+        ),
+        right_schema=pa.schema([("id_b", pa.int64()), ("text_b", pa.string())]),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -308,17 +321,27 @@ def verify_jaccard_pairs(
 
 
 def connected_components(
-    pairs: Dataset, max_rounds: int = 10, n_buckets: int = 32
+    pairs: Dataset,
+    max_rounds: int = 10,
+    n_buckets: int = 32,
+    strict: bool = True,
 ) -> Dataset:
     """Min-label propagation over the dup-pair edge list: returns
     (doc_id, component) where component = min doc id of the cluster.
 
     Fully distributed: each round is one bucketed hash-join (labels onto
-    edges by peer) + one grouped Min — the driver never holds a label
-    map, so giant near-dup graphs (boilerplate-heavy 100 TB crawls)
-    never materialize anywhere.  Convergence is detected by the total
+    edges by peer) + a label-shortcut join (pointer doubling:
+    ``label ← label(label)``) + one grouped Min — the driver never holds
+    a label map, so giant near-dup graphs (boilerplate-heavy 100 TB
+    crawls) never materialize anywhere.  The shortcut step makes chains
+    collapse in O(log₂ diameter) rounds, so the default ``max_rounds=10``
+    covers components of diameter ≈ 2¹⁰ (the one-hop-only variant needed
+    a round PER diameter step).  Convergence is detected by the total
     label sum (labels decrease monotonically; the sum is a single tiny
-    driver scalar per round)."""
+    driver scalar per round); if the loop exits without converging the
+    function RAISES (``strict=True``, default) rather than silently
+    returning split labels — pass ``strict=False`` to get the partial
+    labels for diagnostics."""
     from ray.data.aggregate import Sum as _Sum
 
     from crawler_ray.stages.joins import bucketed_hash_join
@@ -346,7 +369,14 @@ def connected_components(
             )
         )
 
-    # init: label(node) = min(node, all direct peers)
+    # init: label(node) = min(node, all direct peers).
+    # NOTE the repartition: Ray's sort-shuffle output block count equals
+    # its input block count, and each round's union feeds the previous
+    # round's blocks back in — without re-bounding, the label table's
+    # block count grows ~3× per round (geometric), and by round 8 every
+    # shuffle is thousands of partitions wide for the same few rows.
+    # Pinning labels to n_buckets blocks per round keeps every round's
+    # shuffle width constant.
     labels = (
         edges.map_batches(
             lambda t: pa.table({"node": t["node"], "label": t["peer"]}),
@@ -360,16 +390,35 @@ def connected_components(
         )
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
+        .repartition(n_buckets)
         .materialize()
     )
     prev_total = labels.aggregate(_Sum("label", alias_name="total"))["total"]
 
+    converged = False
     for _ in range(max_rounds):
         peer_labels = labels.map_batches(
             lambda t: pa.table({"peer": t["node"], "peer_label": t["label"]}),
             batch_format="pyarrow",
         )
-        prop = bucketed_hash_join(edges, peer_labels, key="peer", n_buckets=n_buckets)
+        # pointer doubling: ONE join serves both steps — the edge list
+        # unioned with the label table read as edges (node → label)
+        # joined against peer_labels yields both the neighbor
+        # propagation AND label ← label(label), so a chain a→b→c→…
+        # halves its unresolved depth every round instead of shrinking
+        # by one hop (O(log₂ diameter) rounds), at one all-to-all join
+        # per round.
+        combined = edges.union(
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "peer": t["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        prop = bucketed_hash_join(
+            combined, peer_labels, key="peer", n_buckets=n_buckets,
+            left_schema=pa.schema([("node", pa.int64()), ("peer", pa.int64())]),
+            right_schema=pa.schema([("peer", pa.int64()), ("peer_label", pa.int64())]),
+        )
         prop_lab = prop.map_batches(
             # join null-fill promoted the one-sided int columns to
             # float64 (ids < 2^53, exact) — cast back
@@ -385,13 +434,29 @@ def connected_components(
             prop_lab.union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(n_buckets)  # re-bound block growth (see init)
             .materialize()
         )
         total = new_labels.aggregate(_Sum("label", alias_name="total"))["total"]
         labels = new_labels
         if total == prev_total:
+            converged = True
             break
         prev_total = total
+    if not converged:
+        # one extra propagation round could still be a no-op (the sum
+        # check needs one quiet round to prove convergence) — but rather
+        # than guess, refuse to hand back possibly-split labels
+        msg = (
+            f"connected_components did not converge within {max_rounds} "
+            "pointer-doubling rounds (component diameter > "
+            f"2^{max_rounds}); raise max_rounds"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 
@@ -458,28 +523,52 @@ def simhash_near_dups(
 
     exploded = sims.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    neighbor_cap = 256
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
         frames = []
         for _, grp in g.groupby("chunk_key", sort=False):
             members = np.sort(grp[id_col].to_numpy())
             m = len(members)
             if m < 2:
                 continue
-            ia, ib = np.triu_indices(m, k=1)
-            keep = ib - ia <= 256  # per-member neighbor cap (degenerate buckets)
-            frames.append(pd.DataFrame({"id_a": members[ia[keep]], "id_b": members[ib[keep]]}))
-        if not frames:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            # sorted-neighbor pairs at distance ≤ cap, generated
+            # DIRECTLY — O(m·cap) work and memory.  Building the full
+            # triu index arrays first (O(m²)) just to filter them would
+            # allocate gigabytes on a degenerate bucket (50k boilerplate
+            # docs sharing a simhash chunk ⇒ ~1.2e9 index pairs).  The
+            # cap is RECORDED per pair (bucket_capped=1) so truncation
+            # is never silent — same contract as the MinHash path.
+            maxd = min(m - 1, neighbor_cap)
+            capped = int(m - 1 > neighbor_cap)
+            ia = np.concatenate([members[:-d] for d in range(1, maxd + 1)])
+            ib = np.concatenate([members[d:] for d in range(1, maxd + 1)])
+            frames.append(
+                pd.DataFrame({"id_a": ia, "id_b": ib, "bucket_capped": capped})
             )
-        return pd.concat(frames, ignore_index=True)
+        if not frames:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "bucket_capped": pa.array([], type=pa.int64()),
+                }
+            )
+        return table_from_pandas(pd.concat(frames, ignore_index=True))
 
     pairs = exploded.groupby("pkey").map_groups(
         bucket_pairs, batch_format="pandas"
     ).materialize()
     if pairs.count() == 0:
         return pairs
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_chunks_hit"))
+    from ray.data.aggregate import Max as _Max
+
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_chunks_hit"),
+        _Max("bucket_capped", alias_name="bucket_capped"),
+    )
 
     # 64-bit hashes travel through the join as hex STRINGS: the join's
     # union null-fill promotes one-sided numeric columns to float64,
@@ -496,6 +585,15 @@ def simhash_near_dups(
     j = bucketed_hash_join(
         uniq, sims.map_batches(sim_side("a"), batch_format="pyarrow"),
         key="id_a", n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("n_chunks_hit", pa.int64()),
+                ("bucket_capped", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("id_a", pa.int64()), ("sim_a", pa.string())]),
     )
 
     def fix_mid(t: pa.Table) -> pa.Table:
@@ -504,6 +602,7 @@ def simhash_near_dups(
                 "id_a": t["id_a"].cast(pa.int64()),
                 "id_b": t["id_b"].cast(pa.int64()),
                 "n_chunks_hit": t["n_chunks_hit"].cast(pa.int64()),
+                "bucket_capped": t["bucket_capped"].cast(pa.int64()),
                 "sim_a": t["sim_a"],
             }
         )
@@ -512,6 +611,16 @@ def simhash_near_dups(
         j.map_batches(fix_mid, batch_format="pyarrow"),
         sims.map_batches(sim_side("b"), batch_format="pyarrow"),
         key="id_b", n_buckets=n_buckets,
+        left_schema=pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("n_chunks_hit", pa.int64()),
+                ("bucket_capped", pa.int64()),
+                ("sim_a", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("id_b", pa.int64()), ("sim_b", pa.string())]),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -524,6 +633,7 @@ def simhash_near_dups(
                 "id_a": batch["id_a"].cast(pa.int64()),
                 "id_b": batch["id_b"].cast(pa.int64()),
                 "n_chunks_hit": batch["n_chunks_hit"].cast(pa.int64()),
+                "bucket_capped": batch["bucket_capped"].cast(pa.int64()),
                 "hamming": pa.array(hams, type=pa.int32()),
             }
         )
@@ -612,7 +722,9 @@ def embedding_near_dups(
         with_bucket = add_hyperplane_bucket(ds, dim=dim, n_planes=n_planes)
     stage = CosineDupStage(threshold)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return stage(g)
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
+        return table_from_pandas(stage(g))
 
     return with_bucket.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

@@ -40,12 +40,34 @@ def _with_bucket(ds: Dataset, key: str, n_buckets: int, side: str) -> Dataset:
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def _align_to(unified: pa.Schema, own_names: frozenset):
+    """Map fn: project a side onto the unified two-side schema — own
+    columns cast to the declared type, the other side's columns filled
+    with typed nulls, in one fixed column order.  With BOTH sides
+    aligned, the union is single-schema, so Ray's executor never logs
+    "RefBundle with a different schema" and block-schema dedup works."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [
+            t[fld.name].cast(fld.type)
+            if fld.name in own_names
+            else pa.nulls(n, type=fld.type)
+            for fld in unified
+        ]
+        return pa.Table.from_arrays(arrays, schema=unified)
+
+    return f
+
+
 def bucketed_hash_join(
     left: Dataset,
     right: Dataset,
     key: str,
     n_buckets: int = 32,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Partitioned hash join on an integer key: one union + one
     co-grouping shuffle; each bucket merges with pandas.
@@ -55,9 +77,27 @@ def bucketed_hash_join(
     left/right/outer joins.  Note the union's schema-widening fills the
     other side's columns with nulls, so pandas promotes int64 columns
     to float64 inside a bucket — typed consumers must cast back.
+
+    When both ``left_schema`` and ``right_schema`` are given (callers
+    with map-side projections know them statically — deriving them here
+    via ``ds.schema()`` would pre-execute the lazy upstream pipeline),
+    both sides are pre-aligned onto one unified schema so the union is
+    single-schema: no per-bundle schema-unification warnings, and
+    Ray's block-schema dedup stays effective.
     """
     if how != "inner":
         raise ValueError(f"bucketed_hash_join supports how='inner' only, got {how!r}")
+    if left_schema is not None and right_schema is not None:
+        fields = list(left_schema) + [
+            f for f in right_schema if f.name not in left_schema.names
+        ]
+        unified = pa.schema(fields)
+        left = left.map_batches(
+            _align_to(unified, frozenset(left_schema.names)), batch_format="pyarrow"
+        )
+        right = right.map_batches(
+            _align_to(unified, frozenset(right_schema.names)), batch_format="pyarrow"
+        )
     tagged = _with_bucket(left, key, n_buckets, "l").union(
         _with_bucket(right, key, n_buckets, "r")
     )
@@ -90,16 +130,18 @@ def asof_join_groups(
     (null when none).  Partitioning assumption: one key's rows fit one
     group (salt by time range when a key is pathologically hot)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_key(g: pd.DataFrame) -> pa.Table:
         sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
         lhs = g[left_filter(g)].sort_values(sort_cols)
         rhs = g[right_filter(g)].sort_values(sort_cols)
         if lhs.empty:
-            return pd.DataFrame()
+            # arrow empty (no-column pandas frames pass through later
+            # pyarrow map stages unconverted and crash the all-to-all)
+            return pa.table({})
         if rhs.empty:
             out = lhs.copy()
             out[out_col] = pd.NaT if np.issubdtype(g[value_col].dtype, np.datetime64) else None
-            return out
+            return table_from_pandas(out)
         rr = rhs[[ts_col]].copy()  # value_col may BE ts_col — copy, don't rename
         rr[out_col] = rhs[value_col].to_numpy()
         merged = pd.merge_asof(
@@ -109,6 +151,6 @@ def asof_join_groups(
             direction="backward",
             allow_exact_matches=True,
         )
-        return merged
+        return table_from_pandas(merged)
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -64,8 +64,8 @@ def colocate_by(ds: Dataset, key_col: str) -> Dataset:
     """Hash-exchange so each output block holds whole key groups
     (the explicit partitioned shuffle; identity map_groups)."""
 
-    def ident(g: pd.DataFrame) -> pd.DataFrame:
-        return g
+    def ident(g: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(g)
 
     return ds.groupby(key_col).map_groups(ident, batch_format="pandas")
 

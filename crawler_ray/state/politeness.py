@@ -57,9 +57,11 @@ class PolitenessQueue:
         seconds (≥1 when the host is schedulable at all, so progress is
         guaranteed even with delay > horizon).  In wall-clock mode the
         window starts at ``max(now, next_allowed)`` — a host still in
-        its cool-down contributes the fetches that fit in the remainder
-        of the horizon (0 when the cool-down swallows it; still ≥1 when
-        the host is already allowed)."""
+        its cool-down contributes the fetches that START in the
+        remainder of the horizon: any positive window grants ≥1 fetch
+        (a fetch only needs its start instant inside the horizon, even
+        when the residual window is shorter than the delay); 0 only
+        when the cool-down covers the whole horizon."""
         st = self.hosts[host]
         if st["delay"] <= 0:
             return 1_000_000_000
@@ -70,7 +72,7 @@ class PolitenessQueue:
         window = horizon - (start - now)
         if window <= 0:
             return 0
-        return max(1 if st["next_allowed"] <= now else 0, int(window / st["delay"]))
+        return max(1, int(window / st["delay"]))
 
     def reserve(self, host: str, n: int) -> float:
         """Advance the host's clock by n fetches; returns the new

@@ -99,6 +99,52 @@ def test_connected_components(ray_session):
     assert labels[10] == labels[11] == 10
 
 
+def test_connected_components_path_graph(ray_session):
+    """50-node path graph (a chain-shaped dup cluster — templated page
+    series): diameter 49 must fully collapse to one label within the
+    default max_rounds=10 — pointer doubling gives O(log₂ d) rounds
+    where one-hop propagation needed d."""
+    from crawler_ray.stages.dedup import connected_components
+
+    n = 50
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(range(n - 1), type=pa.int64()),
+                "id_b": pa.array(range(1, n), type=pa.int64()),
+            }
+        )
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, n_buckets=4).take_all()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    """A diameter-4 chain cannot converge (and prove it via a quiet
+    round) in 1 round — strict mode must raise, never silently return
+    split labels; strict=False returns the partial labels."""
+    from crawler_ray.stages.dedup import connected_components
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(range(15), type=pa.int64()),
+                "id_b": pa.array(range(1, 16), type=pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1, n_buckets=4)
+    partial = connected_components(
+        pairs, max_rounds=1, n_buckets=4, strict=False
+    ).take_all()
+    assert len(partial) == 16
+
+
 def test_simhash_blocks(docs_ds):
     from crawler_ray.stages.dedup import simhash_dedup_keys
 
@@ -117,6 +163,10 @@ def test_simhash_near_dup_pairs(docs_ds):
     assert (0, 1) in got  # identical docs: hamming 0
     ham = dict(zip(zip(pairs["id_a"], pairs["id_b"]), pairs["hamming"]))
     assert ham[(0, 1)] == 0
+    # no-silent-truncation contract: every pair carries the cap marker
+    # (0 here — tiny buckets), mirroring the MinHash path
+    assert "bucket_capped" in pairs.columns
+    assert (pairs["bucket_capped"] == 0).all()
 
 
 def test_brute_force_and_ivf_topk(ray_session):

@@ -155,6 +155,11 @@ def test_politeness_wall_clock_mode():
     assert pq.budget("a.example", horizon=10.0) == 5
     assert pq.reserve("a.example", 1) == 202.0
 
+    # partial-window grant: cool-down ends at 202, horizon 3 leaves a
+    # 1s window (< delay) — a fetch only needs its START instant inside
+    # the horizon, so the budget is 1, not 0
+    assert pq.budget("a.example", horizon=3.0) == 1
+
     # simulated mode unchanged: pure virtual time
     sim = PolitenessQueue()
     sim.register("b.example", crawl_delay=2.0)
