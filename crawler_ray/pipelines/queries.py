@@ -239,6 +239,20 @@ def q_lineitem_agg(sf_dir: str):
         filter=(pc.field("l_shipdate") <= pa.scalar(np.datetime64(Q1_CUTOFF, "us"))),
     )
 
+    # pin the partial-aggregate block schema: an all-filtered-out batch
+    # yields an EMPTY pandas groupby whose object key columns convert to
+    # arrow `null` type — a different block schema, which trips the
+    # executor's "RefBundle with a different schema" warning downstream
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty_cents", pa.int64()),
+            ("sum_price_cents", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["qty_c"] = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
@@ -248,7 +262,7 @@ def q_lineitem_agg(sf_dir: str):
             sum_price_cents=("price_c", "sum"),
             n=("qty_c", "size"),
         )
-        return table_from_pandas(g)
+        return table_from_pandas(g).cast(partial_schema)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
