@@ -188,6 +188,13 @@ def run_benchmarks(crawl_only: bool = False) -> dict:
     return out
 
 
+def _probe_chunk(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i
+    return s
+
+
 def run_scaling() -> None:
     """Same crawl job at N and 4N CPUs in fresh processes, for two N.
 
@@ -216,12 +223,35 @@ def run_scaling() -> None:
             s += i
         return round(time.perf_counter() - t0, 2)
 
+    def host_probe_mt(procs: int = 8) -> float:
+        """Multi-core fixed-work probe (8 processes × the single-thread
+        loop; ~1.1 s calm).  Round-3 finding: entire cert runs can go
+        uniformly ~25% slower while the SINGLE-threaded probe stays calm
+        — multi-core-only degradation (memory-bandwidth / sibling-core
+        steal) that only a parallel probe exposes.  Recorded per repeat
+        alongside the scalar probe so such windows are attributable."""
+        import multiprocessing as mp
+
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as pool:
+            pool.map(_probe_chunk, [20_000_000] * procs)
+        return round(time.perf_counter() - t0, 2)
+
+    # cool-down before each leg: sustained back-to-back all-core load
+    # depresses this host for minutes at a time (round-3 finding — see
+    # host_probe_mt); a pause lets the measurement see steady-state
+    # capability rather than the tail of the previous leg's load
+    cooldown = int(os.environ.get("BENCH_SCALING_COOLDOWN_S", "45"))
+
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
         best = None
         probes = []
+        probes_mt = []
+        time.sleep(cooldown)
         for _ in range(repeats):
             probes.append(host_probe())
+            probes_mt.append(host_probe_mt())
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
                 env=env,
@@ -233,6 +263,7 @@ def run_scaling() -> None:
             if best is None or r["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
                 best = r
         best["host_probe_s"] = probes
+        best["host_probe_mt_s"] = probes_mt
         return best
 
     out = {
@@ -254,6 +285,8 @@ def run_scaling() -> None:
                 "sec_hi": r_hi["queries"]["crawl"],
                 "host_probe_s_lo": r_lo["host_probe_s"],
                 "host_probe_s_hi": r_hi["host_probe_s"],
+                "host_probe_mt_s_lo": r_lo["host_probe_mt_s"],
+                "host_probe_mt_s_hi": r_hi["host_probe_mt_s"],
                 "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
             }
         )
