@@ -399,6 +399,90 @@ def q_deterministic_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------------- 8b
+VOCAB_TOPK = 50
+# ASCII-only token class: exact parity with RE2's `\w` in the SQL twin
+# (Python re's unicode \w would also match hangul/CJK, DuckDB's not)
+_VOCAB_TOKEN = re.compile(r"[a-z0-9_]+")
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-k (the word-count explode): per-batch
+    partial token counts (a Counter per batch — the flat-map never
+    materializes one row per token OCCURRENCE, only per distinct token
+    per batch) → one grouped sum keyed by token → per-block partial
+    top-k → tiny driver merge (≤ VOCAB_TOPK rows per block)."""
+    ds = _doc(sf_dir, ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(_VOCAB_TOKEN.findall((t or "").lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True]
+        ).head(VOCAB_TOPK)
+        return table_from_pandas(df)
+
+    merged = summed.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    merged = (
+        merged.sort_values(["n", "token"], ascending=[False, True])
+        .head(VOCAB_TOPK)
+        .reset_index(drop=True)
+    )
+    merged["n"] = merged["n"].astype("int64")
+    return merged[["token", "n"]]
+
+
+# ----------------------------------------------------------------- 8c
+STRATA_K = 5
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: the STRATA_K docs with smallest
+    md5(text) per source (reproducible per-stratum sampling — the
+    scale-safe alternative to seeded RNG).  Per-block partial head
+    prunes first, so the per-source shuffle carries at most STRATA_K
+    rows per (block, source), never the corpus."""
+    ds = _doc(sf_dir, ["doc_id", "source", "text"])
+
+    def hash_and_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = [
+            hashlib.md5((t or "").encode()).hexdigest() for t in df["text"]
+        ]
+        df = df.sort_values(["h", "doc_id"]).groupby("source", sort=False).head(
+            STRATA_K
+        )
+        return table_from_pandas(df[["source", "doc_id", "h"]])
+
+    def final_topk(g: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(
+            g.sort_values(["h", "doc_id"]).head(STRATA_K)[["source", "doc_id"]]
+        )
+
+    return (
+        ds.map_batches(hash_and_prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # ----------------------------------------------------------------- 9b
 GROUP_TOPK = 3
 
@@ -510,6 +594,39 @@ def q_ann_topk(sf_dir: str):
     pdf = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True]).reset_index(drop=True)
     pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
     return pdf[["vec_id", "rank"]]
+
+
+# ---------------------------------------------------------------- 13b
+KNN_JOIN_NQ = 20  # query set: vec_id < KNN_JOIN_NQ
+KNN_JOIN_K = 5
+
+
+def q_knn_join(sf_dir: str):
+    """Batch k-NN join — the multi-query form of ann_topk: every query
+    vector (vec_id < KNN_JOIN_NQ) gets its KNN_JOIN_K nearest corpus
+    neighbors (self excluded).  One broadcast of the whole query matrix
+    (`ray.put` once, read per actor), per-block (nq × batch) matmul
+    partial top-k, tiny per-query merge: the shuffle carries at most
+    nq × k rows per block regardless of corpus size."""
+    from crawler_ray.stages.ann import brute_force_topk
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = ds.filter(expr=f"vec_id < {KNN_JOIN_NQ}").take(KNN_JOIN_NQ)
+    queries = {
+        "query_id": [r["vec_id"] for r in qrows],
+        "embedding": [np.asarray(r["embedding"], dtype=np.float64) for r in qrows],
+    }
+    # k+1 partials: a query's own vector (cosine 1.0) occupies one slot
+    # in its home block; dropping self afterwards still leaves ≥ k true
+    # neighbors per query in the merged partials
+    pdf = brute_force_topk(ds, queries, k=KNN_JOIN_K + 1)
+    pdf = pdf[pdf["query_id"] != pdf["vec_id"]]
+    pdf = pdf.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    pdf = pdf.groupby("query_id", as_index=False).head(KNN_JOIN_K).reset_index(drop=True)
+    pdf["rank"] = (pdf.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return pdf[["query_id", "vec_id", "rank"]]
 
 
 # ----------------------------------------------------------------- 14
@@ -1266,6 +1383,18 @@ ORACLE_SQL: dict[str, str] = {
     "deterministic_sample": (
         "SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'"
     ),
+    "vocab_topk": (
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token "
+        "FROM documents) GROUP BY token "
+        f"ORDER BY n DESC, token LIMIT {VOCAB_TOPK}"
+    ),
+    "stratified_sample": (
+        "SELECT source, doc_id FROM ("
+        "SELECT source, doc_id, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY md5(text), doc_id) AS rn FROM documents"
+        f") WHERE rn <= {STRATA_K}"
+    ),
     "group_topk": (
         "SELECT doc_id, source, n_chars FROM ("
         "SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
@@ -1308,6 +1437,17 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank "
         f"FROM s ORDER BY sim DESC, vec_id LIMIT {ANN_K}"
     ),
+    "knn_join": (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+        f"FROM embeddings WHERE vec_id < {KNN_JOIN_NQ}), "
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), q.qe) AS sim "
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, rank FROM ("
+        "SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s"
+        f") WHERE rank <= {KNN_JOIN_K}"
+    ),
     "embedding_near_dups": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
         "WHERE a.vec_id < b.vec_id AND list_cosine_similarity("
@@ -1334,10 +1474,13 @@ QUERIES = {
     "group_topk": q_group_topk,
     "text_normalize": q_text_normalize,
     "deterministic_sample": q_deterministic_sample,
+    "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,
     "ann_topk": q_ann_topk,
+    "knn_join": q_knn_join,
     "embedding_near_dups": q_embedding_near_dups,
     "link_relevance": q_link_relevance,
     "url_validity": q_url_validity,
