@@ -50,9 +50,20 @@ def _read(path: str, columns=None, **kw):
 
         size = _os.path.getsize(path)
         kw["override_num_blocks"] = max(4, min(64, size // (1 << 20) + 1))
-    # strip_md fuses with the next map stage; it keeps the b'pandas'
-    # schema metadata (unhashable → breaks Ray's block-schema dedup and
-    # spams shuffle-reduce warnings) out of every downstream block
+    # read with an explicitly metadata-FREE schema: the driver's parquet
+    # carries b'pandas' schema metadata whose dict payload makes
+    # pa.Schema unhashable — Ray's read workers then log "Failed to
+    # hash the schemas (for deduplication)" per block.  Declaring the
+    # stripped (and column-projected) schema at the read kills the
+    # warning at the source; strip_md stays as a fused no-op guard for
+    # any metadata a downstream stage re-attaches.
+    if "schema" not in kw:
+        import pyarrow.parquet as _pq
+
+        full = _pq.read_schema(path).remove_metadata()
+        kw["schema"] = (
+            pa.schema([full.field(c) for c in columns]) if columns else full
+        )
     return rd.read_parquet(path, columns=columns, **kw).map_batches(
         strip_md, batch_format="pyarrow"
     )
@@ -266,6 +277,14 @@ def q_lineitem_agg(sf_dir: str):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
+        # coalesce the partials (≤ |groups| rows per block) before the
+        # groupby: the sort-shuffle's partition count inherits the block
+        # count, and 64 partitions over 6 groups yields 58 EMPTY reduce
+        # outputs whose no-column blocks trip the executor's RefBundle
+        # schema warning.  4 blocks of combined partials is all the
+        # shuffle this aggregate needs at any scale — the per-batch
+        # combine already shrank the data to |groups| rows per block.
+        .repartition(4)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty_cents", alias_name="sum_qty_cents"),

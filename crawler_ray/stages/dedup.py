@@ -668,18 +668,25 @@ class CosineDupStage:
     def __init__(self, threshold: float = 0.95):
         self.threshold = threshold
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, g: pd.DataFrame) -> pa.Table:
         ids = g["vec_id"].to_numpy()
         mat = np.stack(g["embedding"].to_numpy())
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= self.threshold
-        return pd.DataFrame(
+        # arrow block with a pinned schema: a no-pair bucket must emit
+        # the SAME schema as a pair-producing one, or the downstream
+        # executor logs per-bundle schema-unification warnings
+        return pa.table(
             {
-                "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-                "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-                "cosine": sims[ia[keep], ib[keep]],
+                "id_a": pa.array(
+                    np.minimum(ids[ia[keep]], ids[ib[keep]]), type=pa.int64()
+                ),
+                "id_b": pa.array(
+                    np.maximum(ids[ia[keep]], ids[ib[keep]]), type=pa.int64()
+                ),
+                "cosine": pa.array(sims[ia[keep], ib[keep]], type=pa.float64()),
             }
         )
 
@@ -723,8 +730,6 @@ def embedding_near_dups(
     stage = CosineDupStage(threshold)
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        from crawler_ray.functions.arrow_utils import table_from_pandas
-
-        return table_from_pandas(stage(g))
+        return stage(g)  # CosineDupStage emits schema-pinned Arrow
 
     return with_bucket.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
