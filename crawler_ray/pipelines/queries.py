@@ -61,6 +61,10 @@ def _read(path: str, columns=None, **kw):
         import pyarrow.parquet as _pq
 
         full = _pq.read_schema(path).remove_metadata()
+        # the declared schema must EQUAL the projected columns (Ray
+        # casts read blocks to it), and a row filter's fields must be
+        # inside it — callers list filter fields in `columns` and drop
+        # them in a downstream projection if unwanted
         kw["schema"] = (
             pa.schema([full.field(c) for c in columns]) if columns else full
         )
@@ -772,6 +776,246 @@ def q_native_join(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- 14f
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join with both sides large: customers who never placed an
+    URGENT order (stages.joins.bucketed_filter_join — the filter side
+    ships only its key column through the co-grouping shuffle; the
+    priority predicate is pushed into the parquet read)."""
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    return bucketed_filter_join(
+        cust,
+        orders.map_batches(rename, batch_format="pyarrow"),
+        key="c_custkey",
+        mode="anti",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+
+
+def q_active_suppliers(sf_dir: str):
+    """Semi-join: suppliers with at least one lineitem — same bucketed
+    filter-join machinery, keep-on-hit instead of keep-on-miss."""
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    sup = _read(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["s_suppkey"])
+
+    return bucketed_filter_join(
+        sup,
+        li.map_batches(rename, batch_format="pyarrow"),
+        key="s_suppkey",
+        mode="semi",
+        left_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+    )
+
+
+# ---------------------------------------------------------------- 10c
+def q_event_gaps(sf_dir: str):
+    """Window lag: per event, microseconds since the user's previous
+    event (null for the first).  Same bounded hash-partition shape as
+    sessionize — one vectorized pass per partition handles all its
+    users; the shuffle key cardinality stays 16, not |users|."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(16)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def gaps_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        # integer epoch-µs diffs (float total_seconds would round long
+        # gaps); first-per-user stays null
+        e = pd.Series(
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            index=g.index,
+        )
+        # -1 sentinel for first-per-user (COALESCE twin in the SQL):
+        # a nullable column would make the driver's value-hash compare
+        # NaN-vs-NaN, which never matches
+        gap = e.groupby(g["user_id"].to_numpy(), sort=False).diff().fillna(-1)
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), type=pa.int64()),
+                "gap_us": pa.array(gap.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(gaps_part, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------- 10d
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+PIVOT_COHORTS = 20
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (long→wide conditional aggregate): per user cohort, one
+    count column per event type.  The pivot happens map-side (each
+    batch emits at most |cohorts| pre-pivoted rows), so the shuffle
+    carries |cohorts| × |types| integers per block, never the events."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+    part_schema = pa.schema(
+        [("cohort", pa.int64())] + [(c, pa.int64()) for c in cols]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cohort"] = df["user_id"].to_numpy() % PIVOT_COHORTS
+        for t, c in zip(EVENT_TYPES, cols):
+            df[c] = (df["event_type"] == t).astype(np.int64)
+        g = df.groupby("cohort", as_index=False)[cols].sum()
+        return table_from_pandas(g).cast(part_schema)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("cohort")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+# ---------------------------------------------------------------- 8d
+QUANTILES = (0.5, 0.9)
+
+
+def q_price_quantiles(sf_dir: str):
+    """Grouped EXACT quantiles without a global sort: per-batch
+    (flag, price_cents) value-histogram partials → grouped sum → one
+    tiny per-flag pass over the distinct-value histogram (sorted
+    cumsum → pick rank ceil(q·n), DuckDB quantile_disc semantics).
+    Scale contract: the shuffled data is bounded by the DISTINCT value
+    count per group (prices have a bounded domain), not the row count."""
+    ds = _read(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    part_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.round(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        g = df.groupby(["l_returnflag", "cents"], as_index=False).agg(
+            n=("cents", "size")
+        )
+        return table_from_pandas(g).cast(part_schema)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("cents")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        out = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
+        for q in QUANTILES:
+            # 1-based rank ceil(q*n); round() guards float dust like
+            # 0.9*10 == 9.000000000000002
+            rank = int(np.ceil(round(q * n, 9)))
+            idx = int(np.searchsorted(cum, rank))
+            out[f"p{int(q * 100)}_cents"] = [int(g["cents"].to_numpy()[idx])]
+        return pa.table(
+            {k: pa.array(v, type=pa.string() if k == "l_returnflag" else pa.int64())
+             for k, v in out.items()}
+        )
+
+    return hist.groupby("l_returnflag").map_groups(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- 8e
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): the leaf level
+    is a distributed partial+grouped aggregate; the two super-aggregate
+    levels are re-aggregations of the TINY leaf table (|priorities| ×
+    |statuses| rows), done in one single-block task — rolling up the
+    group table instead of re-scanning the fact table."""
+    ds = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    part_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("o_orderstatus", pa.string()),
+            ("n_orders", pa.int64()),
+            ("revenue_cents", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+        )
+        return table_from_pandas(g).cast(part_schema)
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lvl1 = df.groupby("o_orderpriority", as_index=False)[
+            ["n_orders", "revenue_cents"]
+        ].sum()
+        lvl1["o_orderstatus"] = None
+        lvl2 = pd.DataFrame(
+            {
+                "o_orderpriority": [None],
+                "o_orderstatus": [None],
+                "n_orders": [df["n_orders"].sum()],
+                "revenue_cents": [df["revenue_cents"].sum()],
+            }
+        )
+        allv = pd.concat([df, lvl1, lvl2], ignore_index=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(allv["o_orderpriority"], type=pa.string(), from_pandas=True),
+                "o_orderstatus": pa.array(allv["o_orderstatus"], type=pa.string(), from_pandas=True),
+                "n_orders": pa.array(allv["n_orders"].astype(np.int64)),
+                "revenue_cents": pa.array(allv["revenue_cents"].astype(np.int64)),
+            }
+        )
+
+    return leaf.repartition(1).map_batches(rollup, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- 15
 def _derived_url_expr_sql() -> str:
     """Deterministic synthetic URL per document, expressible in both
@@ -1414,6 +1658,44 @@ ORACLE_SQL: dict[str, str] = {
         "PARTITION BY source ORDER BY md5(text), doc_id) AS rn FROM documents"
         f") WHERE rn <= {STRATA_K}"
     ),
+    "customers_without_orders": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN ("
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    ),
+    "active_suppliers": (
+        "SELECT s_suppkey, s_name FROM supplier "
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)"
+    ),
+    "event_gaps": (
+        "SELECT event_id, COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us FROM events"
+    ),
+    "events_pivot": (
+        "SELECT CAST(user_id % 20 AS BIGINT) AS cohort, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{t}"
+            for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY 1"
+    ),
+    "price_quantiles": (
+        "SELECT l_returnflag, "
+        + ", ".join(
+            f"CAST(quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT), "
+            f"{q}) AS BIGINT) AS p{int(q * 100)}_cents"
+            for q in QUANTILES
+        )
+        + " FROM lineitem GROUP BY l_returnflag"
+    ),
+    "revenue_rollup": (
+        "SELECT o_orderpriority, o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS revenue_cents "
+        "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+    ),
     "group_topk": (
         "SELECT doc_id, source, n_chars FROM ("
         "SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
@@ -1495,6 +1777,12 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
+    "customers_without_orders": q_customers_without_orders,
+    "active_suppliers": q_active_suppliers,
+    "event_gaps": q_event_gaps,
+    "events_pivot": q_events_pivot,
+    "price_quantiles": q_price_quantiles,
+    "revenue_rollup": q_revenue_rollup,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,

@@ -115,6 +115,70 @@ def bucketed_hash_join(
     return tagged.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def bucketed_filter_join(
+    left: Dataset,
+    right_keys: Dataset,
+    key: str,
+    mode: str = "semi",
+    n_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Semi / anti join with both sides large: keep left rows whose
+    ``key`` does (semi) or does not (anti) appear in ``right_keys``.
+
+    The right side is projected to the bare key column map-side, so the
+    co-grouping shuffle moves only (key, bucket) for it — at 100 TB the
+    filter side is a column, not a table.  Unlike ``bucketed_hash_join``
+    the empty-right bucket is NOT an early-out: for anti it must pass
+    the whole left side through.  Output blocks are pinned to
+    ``left_schema`` (pass it to keep the pipeline single-schema and
+    lazy; deriving it here via ``ds.schema()`` would pre-execute)."""
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+
+    def key_only(t: pa.Table) -> pa.Table:
+        return t.select([key])
+
+    right = right_keys.map_batches(key_only, batch_format="pyarrow")
+    if left_schema is not None:
+        # align BOTH sides onto the left schema (the right side carries
+        # only `key`; its other columns become typed nulls) so the union
+        # is single-schema — no per-bundle schema-unification warnings
+        left = left.map_batches(
+            _align_to(left_schema, frozenset(left_schema.names)),
+            batch_format="pyarrow",
+        )
+        right = right.map_batches(
+            _align_to(left_schema, frozenset([key])), batch_format="pyarrow"
+        )
+    tagged = _with_bucket(left, key, n_buckets, "l").union(
+        _with_bucket(right, key, n_buckets, "r")
+    )
+    out_names = list(left_schema.names) if left_schema is not None else None
+
+    def filter_bucket(g: pd.DataFrame) -> pa.Table:
+        l = g[g["_side"] == "l"].drop(columns=["_side", "bucket"])
+        rk = g.loc[g["_side"] == "r", key]
+        if out_names is not None:
+            l = l[out_names]
+        else:
+            l = l.dropna(axis=1, how="all")
+        hit = l[key].isin(set(rk))
+        kept = l[hit] if mode == "semi" else l[~hit]
+        if left_schema is not None:
+            if kept.empty:
+                # typed empty block — an empty pandas frame's object
+                # columns would otherwise cast to null type and break
+                # the all-empty-result schema
+                return left_schema.empty_table()
+            return table_from_pandas(kept).cast(left_schema)
+        if kept.empty:
+            return pa.table({})
+        return table_from_pandas(kept)
+
+    return tagged.groupby("bucket").map_groups(filter_bucket, batch_format="pandas")
+
+
 def asof_join_groups(
     ds: Dataset,
     key: str,

@@ -299,3 +299,53 @@ def test_extract_links_with_context():
     # mailto scheme and 1-char anchors skipped
     assert not any(u.startswith("mailto:") for u in by_url)
     assert "http://site.example.com/a" not in by_url
+
+
+def test_bucketed_filter_join_semi_anti(ray_session):
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "v": ["a", "b", "c", "d", "e"]})
+    )
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 4, 4, 9], type=pa.int64())}))
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+
+    semi = bucketed_filter_join(left, right, key="k", mode="semi",
+                                left_schema=schema).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = bucketed_filter_join(left, right, key="k", mode="anti",
+                                left_schema=schema).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
+    # row multiplicity on the left is preserved (semi/anti are filters,
+    # not joins-with-fanout): duplicate right keys must not duplicate
+    dup_left = rd.from_arrow(
+        pa.table({"k": pa.array([2, 2], type=pa.int64()), "v": ["x", "y"]})
+    )
+    semi2 = bucketed_filter_join(dup_left, right, key="k", mode="semi",
+                                 left_schema=schema).to_pandas()
+    assert sorted(semi2["v"]) == ["x", "y"]
+
+
+def test_bucketed_filter_join_empty_result_keeps_schema(ray_session):
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()), "v": ["a", "b"]})
+    )
+    right = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], type=pa.int64())}))
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    out = bucketed_filter_join(left, right, key="k", mode="anti",
+                               left_schema=schema)
+    # blocks keep the declared schema even when every row is filtered
+    # (ds.to_pandas() on an all-empty dataset drops columns — a Ray
+    # conversion quirk, not a block-schema loss; assert on the engine)
+    assert out.count() == 0
+    assert [f.name for f in out.schema().base_schema] == ["k", "v"]
+
+
+def test_bucketed_filter_join_bad_mode(ray_session):
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    with pytest.raises(ValueError):
+        bucketed_filter_join(None, None, key="k", mode="outer")
