@@ -87,3 +87,75 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
         merged.merge(HyperLogLog.from_bytes(row["sketch"]))
     return merged.estimate()
+
+
+class MisraGries:
+    """Misra–Gries frequent-items sketch with capacity ``k``: after a
+    stream of n items, every item with true count > n/(k+1) is
+    guaranteed present, and each kept counter undercounts its true
+    count by at most n/(k+1).  Sketches MERGE (sum counters, then
+    subtract the (k+1)-th largest count and drop non-positives) with
+    the same bound on the combined stream — the mergeable-summaries
+    property (Agarwal et al., PODS'12) that makes the per-batch →
+    tiny-reduce pipeline correct."""
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counters: dict = {}
+
+    def add_many(self, values) -> "MisraGries":
+        from collections import Counter
+
+        for v, n in Counter(values).items():
+            self.counters[v] = self.counters.get(v, 0) + n
+        self._trim()
+        return self
+
+    def _trim(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        # subtract the (k+1)-th largest count: ≤ k counters survive
+        d = sorted(self.counters.values(), reverse=True)[self.k]
+        self.counters = {v: c - d for v, c in self.counters.items() if c > d}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, n in other.counters.items():
+            self.counters[v] = self.counters.get(v, 0) + n
+        self._trim()
+        return self
+
+    def to_items(self) -> tuple[list, list]:
+        items = sorted(self.counters.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return [v for v, _ in items], [c for _, c in items]
+
+
+def heavy_hitters(ds, col: str, k: int = 64, tokenize=None):
+    """Distributed frequent-items: one Misra–Gries sketch per batch
+    (``tokenize`` maps a cell to its items; identity when None), merged
+    on the driver — each partial is ≤ k (item, count) pairs, so the
+    collect is k × num_blocks rows regardless of corpus or vocabulary
+    size.  Returns a pandas DataFrame (item, min_count) sorted by
+    estimated frequency; min_count is the sketch's lower-bound count."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        for cell in batch[col].to_pylist():
+            items = tokenize(cell) if tokenize else [cell]
+            mg.add_many(items)
+        vals, counts = mg.to_items()
+        return pa.table(
+            {"sketch": pa.array([json.dumps([vals, counts])], type=pa.string())}
+        )
+
+    merged = MisraGries(k)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        vals, counts = json.loads(row["sketch"])
+        other = MisraGries(k)
+        other.counters = dict(zip(vals, counts))
+        merged.merge(other)
+    vals, counts = merged.to_items()
+    return pd.DataFrame({"item": vals, "min_count": counts})

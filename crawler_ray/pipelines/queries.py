@@ -472,6 +472,53 @@ def q_vocab_topk(sf_dir: str):
     return merged[["token", "n"]]
 
 
+BIGRAM_TOPK = 30
+
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus bigram top-k (n-gram generation + count): same partial-
+    Counter → grouped-sum → partial-top-k shape as vocab_topk, over
+    adjacent token pairs.  The n-gram explode happens inside the batch
+    Counter, so the shuffle carries distinct bigrams per batch, never
+    one row per occurrence."""
+    ds = _doc(sf_dir, ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = _VOCAB_TOKEN.findall((t or "").lower())
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "bigram": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]
+        ).head(BIGRAM_TOPK)
+        return table_from_pandas(df)
+
+    merged = summed.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    merged = (
+        merged.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(BIGRAM_TOPK)
+        .reset_index(drop=True)
+    )
+    merged["n"] = merged["n"].astype("int64")
+    return merged[["bigram", "n"]]
+
+
 # ----------------------------------------------------------------- 8c
 STRATA_K = 5
 
@@ -1417,6 +1464,27 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+HH_K = 64
+
+
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Misra–Gries frequent tokens (capacity HH_K): the sketch path for
+    top-token detection when the vocabulary is too large for the exact
+    vocab_topk shuffle — each block ships ≤ HH_K (token, count) pairs.
+    min_count is the sketch's guaranteed lower bound.  Ground-truth
+    coverage: tests/test_sketches.py asserts the n/(k+1) guarantee and
+    merge correctness against exact counts."""
+    from crawler_ray.functions.sketches import heavy_hitters
+
+    ds = _doc(sf_dir, ["text"])
+    df = heavy_hitters(
+        ds, "text", k=HH_K,
+        tokenize=lambda t: _VOCAB_TOKEN.findall((t or "").lower()),
+    )
+    df["min_count"] = df["min_count"].astype("int64")
+    return df
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic media table → image-decode +
     audio-feature actor stages (codecs stubbed; schema/layout real)."""
@@ -1652,6 +1720,14 @@ ORACLE_SQL: dict[str, str] = {
         "FROM documents) GROUP BY token "
         f"ORDER BY n DESC, token LIMIT {VOCAB_TOPK}"
     ),
+    "bigram_topk": (
+        "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+')"
+        " AS tl FROM documents), "
+        "z AS (SELECT unnest(list_zip(tl[1:len(tl)-1], tl[2:len(tl)])) AS p "
+        "FROM toks WHERE len(tl) >= 2) "
+        "SELECT p[1] || ' ' || p[2] AS bigram, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM z GROUP BY 1 ORDER BY n DESC, bigram LIMIT {BIGRAM_TOPK}"
+    ),
     "stratified_sample": (
         "SELECT source, doc_id FROM ("
         "SELECT source, doc_id, ROW_NUMBER() OVER ("
@@ -1776,6 +1852,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "deterministic_sample": q_deterministic_sample,
     "vocab_topk": q_vocab_topk,
+    "bigram_topk": q_bigram_topk,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,
     "active_suppliers": q_active_suppliers,
@@ -1806,5 +1883,6 @@ QUERIES = {
     "language_id": q_language_id,
     "media_features": q_media_features,
     "approx_distinct": q_approx_distinct,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "interleaved_spans": q_interleaved_spans,
 }

@@ -51,6 +51,23 @@ def write_arrow(table: pa.Table, path: str) -> str:
     return path
 
 
+def write_jsonl(ds: Dataset, path: str) -> str:
+    """JSONL sink — line-delimited JSON, one object per row (the
+    reference's crawled-doc output format is JSON files per page:
+    src/crawler/integrated_crawler.py's json.dump sink).  Parquet is
+    the performance format; this is the interchange format.  Ray
+    writes one .json file per block, so the output stays partitioned
+    and a downstream read parallelizes."""
+    ds.write_json(path)
+    return path
+
+
+def read_jsonl(path: str, **kw) -> Dataset:
+    """JSONL source: line-delimited JSON files/dirs → Dataset (arrow
+    type inference per block)."""
+    return rd.read_json(path, **kw)
+
+
 def compact_parquet(
     input_dir: str, output_dir: str, target_rows_per_file: int = 500_000
 ) -> int:

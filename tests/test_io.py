@@ -44,3 +44,34 @@ def test_context_profiles(ray_session):
     assert ctx.enable_progress_bars is False
     ctx2 = configure_for_wide_rows(target_block_mib=192)
     assert ctx2.target_max_block_size == 192 * MIB
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_round_trip(tmp_path):
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.sources.io import read_jsonl, write_jsonl
+
+    spans = [
+        json.dumps([{"kind": "text", "text": "hello", "media_ref": None, "offset": 0}]),
+        json.dumps([{"kind": "media", "text": None, "media_ref": "m/1.png", "offset": 0}]),
+        json.dumps([]),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"], type=pa.string()),
+            "spans": pa.array(spans, type=pa.string()),
+            "n": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(rd.from_arrow(t), out)
+    back = read_jsonl(out)
+    df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == ["a", "b", "c"]
+    assert df["n"].tolist() == [1, 2, 3]
+    # span payloads survive byte-identical (JSON strings in, JSON strings out)
+    assert df["spans"].tolist() == spans

@@ -36,3 +36,72 @@ def test_approx_distinct_operator():
     ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
     est = approx_distinct(ds, "v", p=12)
     assert abs(est - 3000) / 3000 < 0.05
+
+
+def test_misra_gries_guarantee():
+    from collections import Counter
+
+    from crawler_ray.functions.sketches import MisraGries
+
+    # skewed stream: item "hot{i}" appears (1000 - 40*i) times
+    stream = []
+    for i in range(25):
+        stream += [f"hot{i}"] * (1000 - 40 * i)
+    stream += [f"tail{i}" for i in range(5000)]
+    import random
+
+    random.Random(7).shuffle(stream)
+    n = len(stream)
+    k = 32
+    mg = MisraGries(k)
+    # feed in chunks (exercises repeated trims)
+    for i in range(0, n, 500):
+        mg.add_many(stream[i : i + 500])
+    exact = Counter(stream)
+    bound = n / (k + 1)
+    kept = dict(zip(*mg.to_items()))
+    assert len(kept) <= k
+    for item, c in exact.items():
+        if c > bound:
+            assert item in kept, f"{item} ({c} > {bound}) missing"
+    # every kept count is a lower bound within the error bound
+    for item, c in kept.items():
+        assert c <= exact[item]
+        assert exact[item] - c <= bound + 1e-9
+
+
+def test_misra_gries_merge_matches_single_stream():
+    from collections import Counter
+
+    from crawler_ray.functions.sketches import MisraGries
+
+    a_stream = ["x"] * 500 + ["y"] * 300 + [f"a{i}" for i in range(1000)]
+    b_stream = ["x"] * 400 + ["z"] * 350 + [f"b{i}" for i in range(1000)]
+    k = 16
+    a = MisraGries(k).add_many(a_stream)
+    b = MisraGries(k).add_many(b_stream)
+    a.merge(b)
+    n = len(a_stream) + len(b_stream)
+    exact = Counter(a_stream + b_stream)
+    bound = n / (k + 1)
+    kept = dict(zip(*a.to_items()))
+    assert len(kept) <= k
+    for item, c in exact.items():
+        if c > bound:
+            assert item in kept
+    for item, c in kept.items():
+        assert c <= exact[item] and exact[item] - c <= bound + 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_operator():
+    from crawler_ray.functions.sketches import heavy_hitters
+
+    rows = ["hot " * 50 + "cold"] * 40 + ["warm " * 25 + "cool"] * 40
+    ds = rd.from_arrow(pa.table({"text": rows})).repartition(8)
+    df = heavy_hitters(ds, "text", k=8, tokenize=lambda t: t.split())
+    kept = dict(zip(df["item"], df["min_count"]))
+    # 2000 "hot" + 1000 "warm" in 3080 tokens: both far over n/(k+1)
+    assert "hot" in kept and "warm" in kept
+    assert kept["hot"] <= 2000 and kept["warm"] <= 1000
+    assert df["min_count"].is_monotonic_decreasing
