@@ -851,9 +851,13 @@ def q_customers_without_orders(sf_dir: str):
 
 
 def q_active_suppliers(sf_dir: str):
-    """Semi-join: suppliers with at least one lineitem — same bucketed
-    filter-join machinery, keep-on-hit instead of keep-on-miss."""
-    from crawler_ray.stages.joins import bucketed_filter_join
+    """Semi-join: suppliers with at least one lineitem — via the
+    Bloom-ACCELERATED path (broadcast Bloom over the lineitem supplier
+    keys prefilters map-side; only Bloom hits reach the exact shuffle).
+    Oracle-gated, so the driver proves the Bloom path exact."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.stages.joins import bloom_filter_join
 
     sup = _read(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
     li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
@@ -861,11 +865,13 @@ def q_active_suppliers(sf_dir: str):
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["s_suppkey"])
 
-    return bucketed_filter_join(
+    cap = _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    return bloom_filter_join(
         sup,
         li.map_batches(rename, batch_format="pyarrow"),
         key="s_suppkey",
         mode="semi",
+        capacity_hint=cap,
         left_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
     )
 

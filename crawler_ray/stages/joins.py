@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 from crawler_ray.functions.arrow_utils import table_from_pandas
@@ -177,6 +178,89 @@ def bucketed_filter_join(
         return table_from_pandas(kept)
 
     return tagged.groupby("bucket").map_groups(filter_bucket, batch_format="pandas")
+
+
+def bloom_filter_join(
+    left: Dataset,
+    right_keys: Dataset,
+    key: str,
+    mode: str = "semi",
+    fp_rate: float = 0.001,
+    capacity_hint: int | None = None,
+    n_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Bloom-accelerated semi/anti join: a broadcast Bloom over the
+    right keys prefilters the left side MAP-SIDE, so the co-grouping
+    shuffle carries only the rows the Bloom cannot decide.
+
+    - Build: per-batch partial Blooms over the right keys (map_batches
+      → tiny fixed-size bitset blobs), OR-merged on the driver
+      (mergeable-sketch pattern), shipped once via ``ray.put``.
+    - Prefilter: a Bloom miss is DEFINITE absence.  semi → drop misses
+      immediately; anti → emit misses immediately (both exact).  Only
+      Bloom HITS — true matches plus ~fp_rate·|left| false positives —
+      continue to the exact :func:`bucketed_filter_join`.
+    - Shuffle volume: |hits| instead of |left|, and the right side
+      still ships key-only.  The result is EXACT for any fp_rate (false
+      positives are re-checked; misses are never wrong by construction).
+
+    ``capacity_hint`` sizes the Bloom (defaults to ``right_keys.count()``
+    — an extra pass; pass the hint when the caller knows the
+    cardinality).  Keys are hashed as strings (int keys stringify)."""
+    from crawler_ray.state.bloom import BloomFilter
+
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+    capacity = capacity_hint if capacity_hint is not None else right_keys.count()
+    capacity = max(64, int(capacity))
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add_many([str(v) for v in t[key].to_pylist()])
+        return pa.table({"blob": pa.array([bf.to_bytes()], type=pa.binary())})
+
+    merged = BloomFilter(capacity, fp_rate)
+    for row in right_keys.map_batches(partial_bloom, batch_format="pyarrow").take_all():
+        other = BloomFilter.from_bytes(row["blob"])
+        merged.bits |= other.bits
+        merged.count += other.count
+    bloom_ref = ray.put(merged.to_bytes())
+
+    class Prefilter:
+        """hit=True keeps Bloom hits (semi verify set); hit=False keeps
+        Bloom misses (anti definite set).  One actor-cached Bloom per
+        worker — the bitset deserializes once, not per batch."""
+
+        def __init__(self, keep_hits: bool):
+            self.bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+            self.keep_hits = keep_hits
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hits = self.bf.contains_many([str(v) for v in t[key].to_pylist()])
+            mask = hits if self.keep_hits else ~hits
+            return t.filter(pa.array(mask))
+
+    if left_schema is not None:
+        left = left.map_batches(
+            _align_to(left_schema, frozenset(left_schema.names)),
+            batch_format="pyarrow",
+        )
+    maybe = left.map_batches(
+        Prefilter, fn_constructor_args=(True,), concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
+    verified = bucketed_filter_join(
+        maybe, right_keys, key=key, mode=mode, n_buckets=n_buckets,
+        left_schema=left_schema,
+    )
+    if mode == "semi":
+        return verified
+    definite = left.map_batches(
+        Prefilter, fn_constructor_args=(False,), concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
+    return definite.union(verified)
 
 
 def asof_join_groups(

@@ -349,3 +349,31 @@ def test_bucketed_filter_join_bad_mode(ray_session):
 
     with pytest.raises(ValueError):
         bucketed_filter_join(None, None, key="k", mode="outer")
+
+
+def test_bloom_filter_join_matches_exact(ray_session):
+    import numpy as np
+
+    from crawler_ray.stages.joins import bloom_filter_join, bucketed_filter_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 500, size=400)
+    rk = rng.integers(250, 750, size=300)
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lk, type=pa.int64()),
+                  "v": [f"v{i}" for i in range(len(lk))]})
+    ).repartition(4)
+    right = rd.from_arrow(pa.table({"k": pa.array(rk, type=pa.int64())})).repartition(3)
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+
+    for mode in ("semi", "anti"):
+        exact = bucketed_filter_join(
+            left, right, key="k", mode=mode, left_schema=schema
+        ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        # fp_rate=0.5 forces real false positives through the prefilter:
+        # the exact verify stage must scrub every one of them
+        fast = bloom_filter_join(
+            left, right, key="k", mode=mode, fp_rate=0.5,
+            capacity_hint=64, left_schema=schema,
+        ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        assert exact.equals(fast), f"bloom {mode} path diverges from exact"
