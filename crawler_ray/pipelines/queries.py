@@ -1069,6 +1069,114 @@ def q_revenue_rollup(sf_dir: str):
     return leaf.repartition(1).map_batches(rollup, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- 8f
+def q_revenue_share(sf_dir: str):
+    """Ratio-to-total window aggregate (SUM() OVER () twin): per
+    priority, revenue and its share of the grand total.  Leaf is a
+    distributed partial+grouped aggregate; the share division happens
+    in one single-block task over the tiny group table — the window
+    over the WHOLE table never touches the fact rows."""
+    ds = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    part_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("revenue_cents", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue_cents=("cents", "sum")
+        )
+        return table_from_pandas(g).cast(part_schema)
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        rev = t["revenue_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(rev.sum())
+        # identical exact-int division on both engines → bit-equal doubles
+        return t.append_column(
+            "share", pa.array(rev / total, type=pa.float64())
+        )
+
+    return leaf.repartition(1).map_batches(share, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- 9c
+NTILE_K = 4
+
+
+def q_order_quartiles(sf_dir: str):
+    """NTILE(4) within each order priority by (totalprice, orderkey):
+    per-group tile assignment via one vectorized pass (first n%k tiles
+    get the extra row — SQL NTILE semantics).  Partitioning assumption
+    (documented, same as the as-of join): one priority's rows fit one
+    group; for skewed partitions pre-bucket by a secondary range key."""
+    ds = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def tiles(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+        n = len(g)
+        base, rem = divmod(n, NTILE_K)
+        sizes = np.full(NTILE_K, base, dtype=np.int64)
+        sizes[:rem] += 1
+        quart = np.repeat(np.arange(1, NTILE_K + 1, dtype=np.int64), sizes)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), type=pa.int64()),
+                "o_orderpriority": pa.array(
+                    g["o_orderpriority"], type=pa.string()
+                ),
+                "quartile": pa.array(quart),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(tiles, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- 9d
+EXPLODE_DOC_CAP = 20
+
+
+def q_token_positions(sf_dir: str):
+    """Positional explode (unnest WITH ORDINALITY twin): one row per
+    token OCCURRENCE with its 1-based position, over a capped doc
+    subset (the flat_map shape — output is rows-per-element, so cap
+    the input, not the shuffle)."""
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < EXPLODE_DOC_CAP),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks, pos = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            tl = _VOCAB_TOKEN.findall((t or "").lower())
+            ids.extend([d] * len(tl))
+            toks.extend(tl)
+            pos.extend(range(1, len(tl) + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "token": pa.array(toks, type=pa.string()),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- 15
 def _derived_url_expr_sql() -> str:
     """Deterministic synthetic URL per document, expressible in both
@@ -1771,6 +1879,27 @@ ORACLE_SQL: dict[str, str] = {
         )
         + " FROM lineitem GROUP BY l_returnflag"
     ),
+    "revenue_share": (
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS revenue_cents, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / "
+        "CAST(SUM(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))) OVER ()"
+        " AS DOUBLE) AS share "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    "order_quartiles": (
+        "SELECT o_orderkey, o_orderpriority, "
+        f"CAST(NTILE({NTILE_K}) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile "
+        "FROM orders"
+    ),
+    "token_positions": (
+        "SELECT doc_id, unnest(tl) AS token, "
+        "CAST(unnest(range(1, len(tl)+1)) AS BIGINT) AS pos "
+        "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')"
+        f" AS tl FROM documents WHERE doc_id < {EXPLODE_DOC_CAP})"
+    ),
     "revenue_rollup": (
         "SELECT o_orderpriority, o_orderstatus, "
         "CAST(COUNT(*) AS BIGINT) AS n_orders, "
@@ -1866,6 +1995,9 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "price_quantiles": q_price_quantiles,
     "revenue_rollup": q_revenue_rollup,
+    "revenue_share": q_revenue_share,
+    "order_quartiles": q_order_quartiles,
+    "token_positions": q_token_positions,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,
