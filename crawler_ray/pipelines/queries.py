@@ -1177,6 +1177,53 @@ def q_token_positions(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- 14g
+SKEW_HOT_FRACTION = 0.2
+
+
+def q_skew_join_docs(sf_dir: str):
+    """Skew-aware inner join, oracle-proven on genuinely skewed data:
+    `lang='en'` holds ~44% of documents, so it exceeds
+    SKEW_HOT_FRACTION and routes through the broadcast hot path while
+    the cold langs take the bucketed shuffle
+    (stages.joins.skew_aware_hash_join — the driver's oracle proves
+    both routes and their union)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from crawler_ray.stages.joins import skew_aware_hash_join
+
+    docs = _doc(sf_dir, ["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("lang", as_index=False).size()
+        df.columns = ["lang", "n"]
+        return table_from_pandas(df)
+
+    lang_counts = (
+        _doc(sf_dir, ["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(_Sum("n", alias_name="lang_docs"))
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "lang_docs": t["lang_docs"].cast(pa.int64()),
+            }
+        )
+
+    return skew_aware_hash_join(
+        docs,
+        lang_counts.map_batches(pin, batch_format="pyarrow"),
+        key="lang",
+        hot_fraction=SKEW_HOT_FRACTION,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        right_schema=pa.schema([("lang", pa.string()), ("lang_docs", pa.int64())]),
+    )
+
+
 # ----------------------------------------------------------------- 15
 def _derived_url_expr_sql() -> str:
     """Deterministic synthetic URL per document, expressible in both
@@ -1900,6 +1947,11 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')"
         f" AS tl FROM documents WHERE doc_id < {EXPLODE_DOC_CAP})"
     ),
+    "skew_join_docs": (
+        "SELECT d.doc_id, d.lang, s.lang_docs FROM documents d JOIN ("
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_docs FROM documents"
+        " GROUP BY lang) s USING (lang)"
+    ),
     "revenue_rollup": (
         "SELECT o_orderpriority, o_orderstatus, "
         "CAST(COUNT(*) AS BIGINT) AS n_orders, "
@@ -1998,6 +2050,7 @@ QUERIES = {
     "revenue_share": q_revenue_share,
     "order_quartiles": q_order_quartiles,
     "token_positions": q_token_positions,
+    "skew_join_docs": q_skew_join_docs,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,

@@ -180,6 +180,89 @@ def bucketed_filter_join(
     return tagged.groupby("bucket").map_groups(filter_bucket, batch_format="pandas")
 
 
+def skew_aware_hash_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    n_buckets: int = 32,
+    hot_fraction: float = 0.1,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Inner equi-join that routes HOT keys around the shuffle.
+
+    A single dominant key (one host with half the corpus) makes one
+    bucket of :func:`bucketed_hash_join` as large as the whole skewed
+    side — the classic straggler.  This wrapper:
+
+    1. histograms the LEFT key map-side (combiner → tiny groupby) and
+       picks keys holding > ``hot_fraction`` of rows,
+    2. joins hot-key left rows MAP-SIDE against a ``ray.put`` broadcast
+       of the hot-key right rows (no shuffle touches the hot rows),
+    3. joins the cold remainder with the normal bucketed shuffle join,
+    4. unions the two streams (schemas pre-aligned when given).
+
+    Partitioning assumption (documented, checked by the caller): the
+    RIGHT side of each hot key fits in the object store — the
+    fact⋈dimension skew shape.  When both sides of a hot key are huge,
+    salt the key instead (stages.shuffle.add_salted_key) and merge the
+    salted partials."""
+    from crawler_ray.stages.shuffle import hot_keys_above
+
+    hot = hot_keys_above(left, key, fraction=hot_fraction)
+    if not hot:
+        return bucketed_hash_join(
+            left, right, key=key, n_buckets=n_buckets,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+    hot_set = set(hot)
+
+    def split(want_hot: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = np.asarray(
+                [v in hot_set for v in t[key].to_pylist()], dtype=bool
+            )
+            return t.filter(pa.array(mask if want_hot else ~mask))
+
+        return f
+
+    # hot path: broadcast the right rows of the hot keys once (small by
+    # the documented assumption; streamed batch-wise, never the whole
+    # right side)
+    hot_right_tbl = pa.concat_tables(
+        list(
+            right.map_batches(split(True), batch_format="pyarrow").iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+    )
+    hot_right_ref = ray.put(hot_right_tbl.to_pandas())
+
+    def broadcast_merge(t: pa.Table) -> pa.Table:
+        rdf = ray.get(hot_right_ref)
+        merged = t.to_pandas().merge(rdf, on=key, how="inner")
+        return table_from_pandas(merged)
+
+    hot_joined = left.map_batches(split(True), batch_format="pyarrow").map_batches(
+        broadcast_merge, batch_format="pyarrow"
+    )
+    cold_joined = bucketed_hash_join(
+        left.map_batches(split(False), batch_format="pyarrow"),
+        right.map_batches(split(False), batch_format="pyarrow"),
+        key=key, n_buckets=n_buckets,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+    if left_schema is not None and right_schema is not None:
+        out_schema = pa.schema(
+            list(left_schema)
+            + [f for f in right_schema if f.name not in left_schema.names]
+        )
+        align = _align_to(out_schema, frozenset(out_schema.names))
+        hot_joined = hot_joined.map_batches(align, batch_format="pyarrow")
+        cold_joined = cold_joined.map_batches(align, batch_format="pyarrow")
+    return hot_joined.union(cold_joined)
+
+
 def bloom_filter_join(
     left: Dataset,
     right_keys: Dataset,

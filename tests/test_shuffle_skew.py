@@ -52,3 +52,62 @@ def test_hot_host_crawl_conformance():
     for s in seeds:
         site = s["site_identifier"]
         assert eng.url_seen(site) == golden[site]["url_seen"]
+
+
+def test_skew_aware_join_matches_plain(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.joins import bucketed_hash_join, skew_aware_hash_join
+
+    rng = np.random.default_rng(5)
+    # hot key "h" holds half the left rows
+    lk = ["h"] * 500 + [f"k{i % 40}" for i in range(500)]
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lk, type=pa.string()),
+                  "lv": pa.array(rng.integers(0, 100, len(lk)), type=pa.int64())})
+    ).repartition(6)
+    rk = ["h", "h"] + [f"k{i}" for i in range(40)]
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(rk, type=pa.string()),
+                  "rv": pa.array(rng.integers(0, 100, len(rk)), type=pa.int64())})
+    ).repartition(3)
+    ls = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.string()), ("rv", pa.int64())])
+
+    def canon(ds):
+        df = ds.to_pandas()
+        for c in ("lv", "rv"):
+            df[c] = df[c].astype("int64")
+        return df.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+
+    plain = canon(bucketed_hash_join(left, right, key="k",
+                                     left_schema=ls, right_schema=rs))
+    skew = canon(skew_aware_hash_join(left, right, key="k", hot_fraction=0.2,
+                                      left_schema=ls, right_schema=rs))
+    # the hot key fans out: 500 left x 2 right = 1000 rows for "h" alone
+    assert (plain["k"] == "h").sum() == 1000
+    pd.testing.assert_frame_equal(plain, skew)
+
+
+def test_skew_aware_join_no_hot_keys_falls_back(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.joins import skew_aware_hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "c", "d", "e"], type=pa.string()),
+                  "lv": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["b", "d"], type=pa.string()),
+                  "rv": pa.array([20, 40], type=pa.int64())})
+    )
+    ls = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.string()), ("rv", pa.int64())])
+    out = skew_aware_hash_join(left, right, key="k", hot_fraction=0.5,
+                               left_schema=ls, right_schema=rs).to_pandas()
+    assert sorted(out["k"]) == ["b", "d"]
