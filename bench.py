@@ -229,7 +229,15 @@ def run_scaling() -> None:
         uniformly ~25% slower while the SINGLE-threaded probe stays calm
         — multi-core-only degradation (memory-bandwidth / sibling-core
         steal) that only a parallel probe exposes.  Recorded per repeat
-        alongside the scalar probe so such windows are attributable."""
+        alongside the scalar probe so such windows are attributable.
+
+        Second round-3 finding: whole benches can run 1.7× slower while
+        even a 32-process version of THIS probe stays calm — pure-CPU
+        capacity intact, the slowdown lives in process-spawn / IPC /
+        scheduler latency (Ray worker churn is sensitive to it, a flat
+        compute loop is not).  That mode is attributable only by
+        before/after comparison against a known-calm bench run; treat
+        any uniformly-inflated bench with calm probes as host noise."""
         import multiprocessing as mp
 
         t0 = time.perf_counter()

@@ -404,6 +404,23 @@ def q_text_normalize(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+MASK_PATTERN = r"\b(customer|supplier|order)\b"
+
+
+def q_mask_entities(sf_dir: str):
+    """Entity masking (the PII-redaction shape): regex-replace target
+    terms with a mask token — pure pyarrow.compute RE2 kernel, zero
+    Python in the hot path, exact twin of DuckDB's regexp_replace
+    'g'."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(batch["text"], MASK_PATTERN, "[MASK]")
+        return pa.table({"doc_id": batch["doc_id"], "masked": t})
+
+    return ds.map_batches(mask, batch_format="pyarrow")
+
+
 def q_deterministic_sample(sf_dir: str):
     """Deterministic ~1-in-16 sample by content hash (first md5 hex
     nibble == '0'): reproducible sampling — the scale-safe alternative
@@ -1646,6 +1663,20 @@ def q_heavy_hitter_tokens(sf_dir: str):
     return df
 
 
+PACK_BUDGET = 4096
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy per-block sequence packing into PACK_BUDGET-char training
+    bins (stages/packing.py — not SQL-expressible; ground-truth pytest
+    asserts exact coverage + budget bounds)."""
+    from crawler_ray.stages.packing import pack_sequences
+
+    ds = _doc(sf_dir, ["doc_id", "n_chars"])
+    return pack_sequences(ds, id_col="doc_id", len_col="n_chars",
+                          bin_budget=PACK_BUDGET)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic media table → image-decode +
     audio-feature actor stages (codecs stubbed; schema/layout real)."""
@@ -1875,6 +1906,11 @@ ORACLE_SQL: dict[str, str] = {
     "deterministic_sample": (
         "SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'"
     ),
+    "mask_entities": (
+        "SELECT doc_id, regexp_replace(text, "
+        r"'\b(customer|supplier|order)\b', '[MASK]', 'g') AS masked "
+        "FROM documents"
+    ),
     "vocab_topk": (
         "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token "
@@ -2038,6 +2074,7 @@ QUERIES = {
     "group_topk": q_group_topk,
     "text_normalize": q_text_normalize,
     "deterministic_sample": q_deterministic_sample,
+    "mask_entities": q_mask_entities,
     "vocab_topk": q_vocab_topk,
     "bigram_topk": q_bigram_topk,
     "stratified_sample": q_stratified_sample,
@@ -2075,5 +2112,6 @@ QUERIES = {
     "media_features": q_media_features,
     "approx_distinct": q_approx_distinct,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "pack_sequences": q_pack_sequences,
     "interleaved_spans": q_interleaved_spans,
 }

@@ -301,3 +301,39 @@ def test_interleaved_spans_ground_truth(ray_session):
         spans = spans or []
         assert int(row["n_spans"]) == len(spans)
         assert int(row["n_media"]) == sum(1 for s in spans if s["kind"] == "media")
+
+
+def test_pack_sequences_ground_truth(ray_session):
+    """Every doc packed exactly once; every bin within budget unless a
+    single oversized doc; FFD sanity: bin count <= 2x the fractional
+    lower bound (FFD guarantees 11/9 OPT + 1; 2x is a loose, stable
+    assertion)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n, budget = 500, 1000
+    lens = rng.integers(50, 700, size=n).astype(np.int64)
+    lens[7] = 1500  # oversized
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "n_tokens": pa.array(lens)})
+    ).repartition(4)
+    bins = pack_sequences(ds, len_col="n_tokens", bin_budget=budget).to_pandas()
+
+    packed = [d for ids in bins["doc_ids"] for d in ids]
+    assert sorted(packed) == list(range(n))  # exact coverage, no dupes
+    by_doc = dict(zip(range(n), lens))
+    for _, row in bins.iterrows():
+        total = sum(by_doc[d] for d in row["doc_ids"])
+        assert total == row["total_tokens"]
+        if not row["has_oversized"]:
+            assert total <= budget
+        else:
+            assert len(row["doc_ids"]) == 1
+    lower_bound = int(np.ceil(lens.sum() / budget))
+    assert len(bins) <= 2 * lower_bound
+    assert bins["bin_id"].is_unique
