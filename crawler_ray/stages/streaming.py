@@ -53,6 +53,75 @@ class SessionState:
         return pd.DataFrame(rows)
 
 
+@ray.remote(num_cpus=0)
+class TumblingWindowState:
+    """Per-bucket incremental tumbling-window counter with an
+    event-time WATERMARK and bounded lateness — the streaming-window
+    semantics Ray Data lacks natively:
+
+    - watermark = max event time seen at batch START minus
+      ``allowed_lateness_s``;
+    - an event at or after the watermark updates its window (in-order
+      OR late-but-allowed — late data merges into the still-open
+      window);
+    - an event before the watermark is counted in ``late_dropped``
+      (recorded, never silent — the repo's no-silent-truncation rule);
+    - ``emit_closed()`` flushes windows whose END is below the
+      watermark: each closed window is emitted exactly once, so
+      downstream sees an append-only stream of finalized windows."""
+
+    def __init__(self, window_s: float = 3600.0, allowed_lateness_s: float = 900.0):
+        self.window_s = float(window_s)
+        self.late_s = float(allowed_lateness_s)
+        self.counts: dict = {}  # (key, window_start_epoch_s) -> n
+        self.emitted: set = set()
+        self.max_ts: float | None = None
+        self.late_dropped = 0
+
+    def ingest(self, df: pd.DataFrame, key_col: str = "user_id") -> int:
+        ts_s = df["ts"].astype("int64").to_numpy() / 1e9
+        wm = None if self.max_ts is None else self.max_ts - self.late_s
+        ok = ts_s >= wm if wm is not None else ts_s == ts_s
+        self.late_dropped += int((~ok).sum())
+        kept = df[ok]
+        kept_ts = ts_s[ok]
+        if len(kept):
+            wstart = (kept_ts // self.window_s) * self.window_s
+            g = (
+                pd.DataFrame({"k": kept[key_col].to_numpy(), "w": wstart})
+                .groupby(["k", "w"])
+                .size()
+            )
+            for (k, w), n in g.items():
+                self.counts[(k, w)] = self.counts.get((k, w), 0) + int(n)
+        if len(ts_s):
+            m = float(ts_s.max())
+            self.max_ts = m if self.max_ts is None else max(self.max_ts, m)
+        return len(kept)
+
+    def emit_closed(self) -> pd.DataFrame:
+        if self.max_ts is None:
+            return pd.DataFrame({"key": [], "window_start": [], "n": []})
+        wm = self.max_ts - self.late_s
+        rows = []
+        for (k, w), n in list(self.counts.items()):
+            if w + self.window_s <= wm:
+                rows.append({"key": k, "window_start": w, "n": n})
+                del self.counts[(k, w)]
+                self.emitted.add((k, w))
+        return pd.DataFrame(rows, columns=["key", "window_start", "n"])
+
+    def snapshot_open(self) -> pd.DataFrame:
+        rows = [
+            {"key": k, "window_start": w, "n": n}
+            for (k, w), n in self.counts.items()
+        ]
+        return pd.DataFrame(rows, columns=["key", "window_start", "n"])
+
+    def stats(self) -> dict:
+        return {"late_dropped": self.late_dropped, "max_ts": self.max_ts}
+
+
 class IncrementalSessionizer:
     """Driver-side facade: routes micro-batches to key-hash bucket
     actors and merges snapshots."""
