@@ -1194,6 +1194,36 @@ def q_token_positions(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- 9e
+STRAGG_DOC_CAP = 100
+
+
+def q_source_doc_list(sf_dir: str):
+    """Grouped string aggregation (string_agg / collect_list twin):
+    per source, the ordered comma-joined doc ids of a capped subset.
+    Per-block partial collect prunes map-side; the final per-group
+    concat handles ≤ |cap| ids per group."""
+    ds = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source"],
+        filter=(pc.field("doc_id") < STRAGG_DOC_CAP),
+    )
+
+    def collect(g: pd.DataFrame) -> pa.Table:
+        ids = sorted(int(x) for x in g["doc_id"])
+        return pa.table(
+            {
+                "source": pa.array([g["source"].iloc[0]], type=pa.string()),
+                "doc_list": pa.array(
+                    [",".join(str(i) for i in ids)], type=pa.string()
+                ),
+                "n_docs": pa.array([len(ids)], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("source").map_groups(collect, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- 14g
 SKEW_HOT_FRACTION = 0.2
 
@@ -1983,6 +2013,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')"
         f" AS tl FROM documents WHERE doc_id < {EXPLODE_DOC_CAP})"
     ),
+    "source_doc_list": (
+        "SELECT source, string_agg(CAST(doc_id AS VARCHAR), ','"
+        " ORDER BY doc_id) AS doc_list, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs "
+        f"FROM documents WHERE doc_id < {STRAGG_DOC_CAP} GROUP BY source"
+    ),
     "skew_join_docs": (
         "SELECT d.doc_id, d.lang, s.lang_docs FROM documents d JOIN ("
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_docs FROM documents"
@@ -2087,6 +2123,7 @@ QUERIES = {
     "revenue_share": q_revenue_share,
     "order_quartiles": q_order_quartiles,
     "token_positions": q_token_positions,
+    "source_doc_list": q_source_doc_list,
     "skew_join_docs": q_skew_join_docs,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
