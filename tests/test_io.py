@@ -75,3 +75,37 @@ def test_jsonl_round_trip(tmp_path):
     assert df["n"].tolist() == [1, 2, 3]
     # span payloads survive byte-identical (JSON strings in, JSON strings out)
     assert df["spans"].tolist() == spans
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_write_and_pruned_read(tmp_path):
+    """Hive-partitioned sink by a derived key + partition-pruned read:
+    the resumable-output layout (one directory per partition, a failed
+    run re-writes only missing partitions; a reader scans only the
+    partitions it needs)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), type=pa.int64()),
+            "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(100)]),
+            "n": pa.array([i * 2 for i in range(100)], type=pa.int64()),
+        }
+    )
+    out = str(tmp_path / "parts")
+    rd.from_arrow(t).repartition(4).write_parquet(out, partition_cols=["lang"])
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en", "lang=fr"]
+
+    # pruned read: only the en partition's files are scanned
+    en = rd.read_parquet(os.path.join(out, "lang=en")).to_pandas()
+    assert len(en) == 34
+    assert sorted(en["doc_id"])[:3] == [0, 3, 6]
+
+    # full read restores the partition column from the path
+    full = rd.read_parquet(out).to_pandas()
+    assert len(full) == 100 and set(full["lang"]) == {"en", "de", "fr"}
