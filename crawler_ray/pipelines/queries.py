@@ -972,53 +972,106 @@ def q_events_pivot(sf_dir: str):
 QUANTILES = (0.5, 0.9)
 
 
+# cents >> 13 (= $81.92 buckets, ~1.3k over TPC-H prices): the bucket
+# count must sit WELL BELOW the per-block row count or the per-batch
+# partial doesn't reduce anything and the groupby shuffles ~rowcount
+# (measured: shift 8 → 40k buckets ≈ block rows → no reduction)
+QUANTILE_BUCKET_SHIFT = 13
+
+
 def q_price_quantiles(sf_dir: str):
-    """Grouped EXACT quantiles without a global sort: per-batch
-    (flag, price_cents) value-histogram partials → grouped sum → one
-    tiny per-flag pass over the distinct-value histogram (sorted
-    cumsum → pick rank ceil(q·n), DuckDB quantile_disc semantics).
-    Scale contract: the shuffled data is bounded by the DISTINCT value
-    count per group (prices have a bounded domain), not the row count."""
-    ds = _read(
-        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
-    )
+    """Grouped EXACT quantiles without a global sort, in two bounded
+    passes (prices are near-unique, so a raw value histogram would
+    shuffle the full rowset — measured: 594k distinct of 599k rows at
+    sf0.1):
+
+    1. per-batch partial counts over QUANTIZED value buckets
+       (cents >> 8) → one grouped sum whose key cardinality is bounded
+       by the bucket count, never the row count; the driver walks the
+       tiny (flag, bucket) histogram to locate, for each quantile, its
+       bucket and the rank within it (rank ceil(q·n) — DuckDB
+       quantile_disc semantics);
+    2. a map-only second scan keeps just the rows in the selected
+       buckets (≈ rows/buckets per group) and the exact value is
+       picked from that tiny set.
+
+    Scale contract: pass-1 shuffle ≤ |buckets| × |groups| rows, pass-2
+    collect ≈ |rows|/|buckets| per chosen bucket — both bounded by the
+    quantization knob, not the data."""
+    path = f"{sf_dir}/lineitem.parquet"
+    cols = ["l_returnflag", "l_extendedprice"]
+    ds = _read(path, columns=cols)
+    shift = QUANTILE_BUCKET_SHIFT
     part_schema = pa.schema(
-        [("l_returnflag", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+        [("l_returnflag", pa.string()), ("bucket", pa.int64()), ("n", pa.int64())]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["cents"] = np.round(df["l_extendedprice"].to_numpy() * 100).astype(
-            np.int64
-        )
-        g = df.groupby(["l_returnflag", "cents"], as_index=False).agg(
-            n=("cents", "size")
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df["bucket"] = cents >> shift
+        g = df.groupby(["l_returnflag", "bucket"], as_index=False).agg(
+            n=("bucket", "size")
         )
         return table_from_pandas(g).cast(part_schema)
 
     hist = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "cents"])
+        .groupby(["l_returnflag", "bucket"])
         .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: ≤ |buckets| × |flags| rows by design
     )
 
-    def pick(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("cents")
+    # locate each quantile's bucket + within-bucket rank
+    targets: dict = {}  # (flag, bucket) -> list[(q, rank_within)]
+    flags = []
+    for flag, g in hist.groupby("l_returnflag"):
+        flags.append(flag)
+        g = g.sort_values("bucket")
         cum = g["n"].cumsum().to_numpy()
         n = int(cum[-1])
-        out = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
         for q in QUANTILES:
-            # 1-based rank ceil(q*n); round() guards float dust like
-            # 0.9*10 == 9.000000000000002
-            rank = int(np.ceil(round(q * n, 9)))
-            idx = int(np.searchsorted(cum, rank))
-            out[f"p{int(q * 100)}_cents"] = [int(g["cents"].to_numpy()[idx])]
-        return pa.table(
-            {k: pa.array(v, type=pa.string() if k == "l_returnflag" else pa.int64())
-             for k, v in out.items()}
-        )
+            rank = int(np.ceil(round(q * n, 9)))  # float-dust guard
+            i = int(np.searchsorted(cum, rank))
+            before = int(cum[i - 1]) if i else 0
+            b = int(g["bucket"].to_numpy()[i])
+            targets.setdefault((flag, b), []).append((q, rank - before))
+    wanted = set(targets)
 
-    return hist.groupby("l_returnflag").map_groups(pick, batch_format="pandas")
+    def keep_selected(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df["cents"] = cents
+        df["bucket"] = cents >> shift
+        mask = [
+            (f, b) in wanted
+            for f, b in zip(df["l_returnflag"].to_numpy(), df["bucket"].to_numpy())
+        ]
+        out = df.loc[mask, ["l_returnflag", "bucket", "cents"]]
+        return table_from_pandas(out)
+
+    picked_rows = (
+        _read(path, columns=cols)
+        .map_batches(keep_selected, batch_format="pyarrow")
+        .to_pandas()  # ≈ rows/buckets per selected bucket — tiny
+    )
+    out: dict = {flag: {} for flag in flags}
+    for (flag, b), wants in targets.items():
+        vals = np.sort(
+            picked_rows.loc[
+                (picked_rows["l_returnflag"] == flag)
+                & (picked_rows["bucket"] == b),
+                "cents",
+            ].to_numpy()
+        )
+        for q, rank_within in wants:
+            out[flag][f"p{int(q * 100)}_cents"] = int(vals[rank_within - 1])
+    return pd.DataFrame(
+        [
+            {"l_returnflag": flag, **{k: np.int64(v) for k, v in cols_.items()}}
+            for flag, cols_ in sorted(out.items())
+        ]
+    )
 
 
 # ---------------------------------------------------------------- 8e
