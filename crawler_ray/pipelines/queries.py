@@ -882,7 +882,11 @@ def q_active_suppliers(sf_dir: str):
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["s_suppkey"])
 
-    cap = _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    # size the Bloom to the key CARDINALITY (suppliers), not the
+    # filter-side row count — l_suppkey repeats ~60×, and the bitset
+    # (and every per-batch partial shipped to the driver) scales with
+    # the declared capacity
+    cap = _pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
     return bloom_filter_join(
         sup,
         li.map_batches(rename, batch_format="pyarrow"),
