@@ -1251,6 +1251,109 @@ def q_token_positions(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- 9f
+def q_doc_dense_rank(sf_dir: str):
+    """DENSE_RANK per group: docs ranked by n_chars desc within their
+    source (ties share a rank) — one vectorized factorize per group."""
+    ds = _doc(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def rank(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        # dense rank = index of each value in the sorted unique values
+        uniq = np.sort(g["n_chars"].unique())[::-1]
+        r = np.searchsorted(-uniq, -g["n_chars"].to_numpy()) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+                "source": pa.array(g["source"], type=pa.string()),
+                "rank": pa.array(r.astype(np.int64)),
+            }
+        )
+
+    return ds.groupby("source").map_groups(rank, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- 10e
+ROLL_WINDOW = 3
+
+
+def q_rolling_value_sum(sf_dir: str):
+    """Rolling per-key window frame (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): 3-event sliding sum of integer value-cents per user,
+    ordered by (ts, event_id) — exact integer sums, vectorized rolling
+    inside bounded hash partitions (sessionize's shuffle shape)."""
+    ds = _read(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(16)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        s = (
+            pd.Series(cents, index=g.index)
+            .groupby(g["user_id"].to_numpy(), sort=False)
+            .rolling(ROLL_WINDOW, min_periods=1)
+            .sum()
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), type=pa.int64()),
+                "roll_cents": pa.array(s),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------- 11b
+def q_nation_overlap(sf_dir: str):
+    """INTERSECT: nation keys present in BOTH customer and supplier —
+    distinct each side map-side (tiny partials), then the bucketed
+    semi filter-join."""
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    def distinct_keys(path: str, col: str) -> "rd.Dataset":
+        ds = _read(f"{sf_dir}/{path}.parquet", columns=[col])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            u = np.unique(
+                batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pa.table({"nationkey": pa.array(u, type=pa.int64())})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("nationkey")
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(
+                lambda t: t.select(["nationkey"]), batch_format="pyarrow"
+            )
+        )
+
+    return bucketed_filter_join(
+        distinct_keys("customer", "c_nationkey"),
+        distinct_keys("supplier", "s_nationkey"),
+        key="nationkey",
+        mode="semi",
+        left_schema=pa.schema([("nationkey", pa.int64())]),
+    )
+
+
 # ---------------------------------------------------------------- 9e
 STRAGG_DOC_CAP = 100
 
@@ -2070,6 +2173,22 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')"
         f" AS tl FROM documents WHERE doc_id < {EXPLODE_DOC_CAP})"
     ),
+    "doc_dense_rank": (
+        "SELECT doc_id, source, CAST(DENSE_RANK() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC) AS BIGINT) AS rank "
+        "FROM documents"
+    ),
+    "rolling_value_sum": (
+        "SELECT event_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents "
+        "FROM events"
+    ),
+    "nation_overlap": (
+        "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "
+        "INTERSECT "
+        "SELECT CAST(s_nationkey AS BIGINT) FROM supplier"
+    ),
     "source_doc_list": (
         "SELECT source, string_agg(CAST(doc_id AS VARCHAR), ','"
         " ORDER BY doc_id) AS doc_list, "
@@ -2181,6 +2300,9 @@ QUERIES = {
     "order_quartiles": q_order_quartiles,
     "token_positions": q_token_positions,
     "source_doc_list": q_source_doc_list,
+    "doc_dense_rank": q_doc_dense_rank,
+    "rolling_value_sum": q_rolling_value_sum,
+    "nation_overlap": q_nation_overlap,
     "skew_join_docs": q_skew_join_docs,
     "sessionize": q_sessionize,
     "distinct_sources": q_distinct_sources,
