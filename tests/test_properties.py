@@ -76,3 +76,39 @@ def test_valid_url_mask_matches_scalar(urls):
     scalar = [is_valid_url(u, base) for u in urls]
     vector = [bool(v) for v in valid_url_mask(urls, base).to_pylist()]
     assert vector == scalar
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lk=st.lists(st.integers(0, 30), min_size=0, max_size=60),
+    rk=st.lists(st.integers(0, 30), min_size=0, max_size=40),
+)
+def test_bucketed_hash_join_matches_pandas_merge(ray_session, lk, rk):
+    """For arbitrary key multisets, the distributed bucketed join must
+    equal a plain pandas inner merge (same multiset of output rows)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    ldf = pd.DataFrame({"k": pd.array(lk, dtype="int64"),
+                        "lv": pd.array(range(len(lk)), dtype="int64")})
+    rdf = pd.DataFrame({"k": pd.array(rk, dtype="int64"),
+                        "rv": pd.array(range(len(rk)), dtype="int64")})
+    expected = ldf.merge(rdf, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+
+    left = rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False))
+    right = rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False))
+    got = bucketed_hash_join(
+        left, right, key="k", n_buckets=7,
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+    ).to_pandas()
+    if len(expected) == 0:
+        assert len(got) == 0
+        return
+    for c in ("k", "lv", "rv"):
+        got[c] = got[c].astype("int64")
+    got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected)
