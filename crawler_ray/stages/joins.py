@@ -206,7 +206,13 @@ def skew_aware_hash_join(
     RIGHT side of each hot key fits in the object store — the
     fact⋈dimension skew shape.  When both sides of a hot key are huge,
     salt the key instead (stages.shuffle.add_salted_key) and merge the
-    salted partials."""
+    salted partials.
+
+    Cost note: ``left`` is evaluated up to THREE times (histogram +
+    the two routed scans) and ``right`` twice — re-scanning is the
+    right trade at 100 TB versus caching the input, but when the
+    upstream pipeline feeding ``left`` is itself expensive, write it
+    to parquet (or ``materialize()`` a small one) first."""
     from crawler_ray.stages.shuffle import hot_keys_above
 
     hot = hot_keys_above(left, key, fraction=hot_fraction)
@@ -290,7 +296,14 @@ def bloom_filter_join(
 
     ``capacity_hint`` sizes the Bloom (defaults to ``right_keys.count()``
     — an extra pass; pass the hint when the caller knows the
-    cardinality).  Keys are hashed as strings (int keys stringify)."""
+    cardinality, and size it to the key CARDINALITY, not the row
+    count — the bitset and every per-batch partial scale with it).
+    Keys are hashed as strings (int keys stringify).
+
+    Cost note: ``right_keys`` is evaluated twice (Bloom build +
+    verify), and in anti mode ``left`` twice (definite-miss scan +
+    maybe scan) — map-only re-scans, the standard trade versus
+    caching; pre-write expensive upstreams first."""
     from crawler_ray.state.bloom import BloomFilter
 
     if mode not in ("semi", "anti"):
