@@ -1853,6 +1853,30 @@ def q_heavy_hitter_tokens(sf_dir: str):
     return df
 
 
+def q_quantized_embeddings(sf_dir: str):
+    """Int8 symmetric per-vector quantization of the embedding column
+    (stages/ann.py:quantize_embeddings — 4× density for the ANN
+    corpus; ground-truth pytest bounds cosine distortion and top-10
+    recall).  Emits (vec_id, q8_scale, n_codes)."""
+    from crawler_ray.stages.ann import quantize_embeddings
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        n_codes = pa.array(
+            [len(c) for c in t["embedding_q8"].to_pylist()], type=pa.int64()
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "q8_scale": t["q8_scale"],
+                "n_codes": n_codes,
+            }
+        )
+
+    return quantize_embeddings(ds).map_batches(project, batch_format="pyarrow")
+
+
 PACK_BUDGET = 4096
 
 
@@ -2329,5 +2353,6 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "pack_sequences": q_pack_sequences,
+    "quantized_embeddings": q_quantized_embeddings,
     "interleaved_spans": q_interleaved_spans,
 }

@@ -136,3 +136,32 @@ def ivf_topk(
     # prune: only blocks of probed cells are scanned
     sub = assigned.filter(expr=f"cell in {wanted}")
     return brute_force_topk(sub, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# ------------------------------------------------- int8 quantization
+def quantize_embeddings(
+    ds: Dataset, vec_col: str = "embedding", out_col: str = "embedding_q8"
+) -> Dataset:
+    """Symmetric per-vector int8 quantization: codes = round(v/scale)
+    with scale = max|v|/127, stored as (list<int8>, scale) columns —
+    4× the density of float32 in the object store and on disk, which
+    at 100 TB is the difference between an in-memory ANN corpus and a
+    spilled one.  Pure map stage; dequantization error is bounded by
+    scale/2 per component (tests assert cosine distortion and ANN
+    recall)."""
+
+    def q(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch[vec_col].to_pylist()).astype(np.float32)
+        scale = np.maximum(np.abs(mat).max(axis=1), 1e-12) / 127.0
+        codes = np.clip(np.round(mat / scale[:, None]), -127, 127).astype(np.int8)
+        return batch.append_column(
+            out_col, pa.array(list(codes), type=pa.list_(pa.int8()))
+        ).append_column("q8_scale", pa.array(scale, type=pa.float32()))
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def dequantize_matrix(codes_col, scales) -> np.ndarray:
+    """codes (list<int8> column) × per-row scale → float32 matrix."""
+    codes = np.stack([np.asarray(c, dtype=np.float32) for c in codes_col])
+    return codes * np.asarray(scales, dtype=np.float32)[:, None]

@@ -337,3 +337,57 @@ def test_pack_sequences_ground_truth(ray_session):
     lower_bound = int(np.ceil(lens.sum() / budget))
     assert len(bins) <= 2 * lower_bound
     assert bins["bin_id"].is_unique
+
+
+def test_int8_quantization_cosine_and_recall(ray_session):
+    """Quantize→dequantize must preserve cosine structure: per-pair
+    cosine distortion < 0.02 on unit-ish vectors, and brute-force ANN
+    over dequantized vectors keeps >= 9/10 of the exact top-10."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.ann import (
+        brute_force_topk,
+        dequantize_matrix,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(12)
+    n, dim = 300, 32
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in mat], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(4)
+
+    qds = quantize_embeddings(ds)
+    out = qds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    deq = dequantize_matrix(out["embedding_q8"].tolist(), out["q8_scale"].to_numpy())
+
+    def unit(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    cos_orig = unit(mat) @ unit(mat).T
+    cos_deq = unit(deq) @ unit(deq).T
+    assert np.abs(cos_orig - cos_deq).max() < 0.02
+
+    # ANN recall on the dequantized corpus
+    q = {"query_id": [0], "embedding": [mat[5].astype(np.float64)]}
+    exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    dq_tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in deq], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    approx = set(brute_force_topk(rd.from_arrow(dq_tbl).repartition(4), q, k=10)["vec_id"])
+    assert len(exact & approx) >= 9
