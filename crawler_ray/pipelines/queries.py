@@ -1079,12 +1079,9 @@ def q_price_quantiles(sf_dir: str):
 
 
 # ---------------------------------------------------------------- 8e
-def q_revenue_rollup(sf_dir: str):
-    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): the leaf level
-    is a distributed partial+grouped aggregate; the two super-aggregate
-    levels are re-aggregations of the TINY leaf table (|priorities| ×
-    |statuses| rows), done in one single-block task — rolling up the
-    group table instead of re-scanning the fact table."""
+def _orders_leaf_agg(sf_dir: str):
+    """Shared leaf for rollup/cube: distributed partial+grouped
+    aggregate of orders by (priority, status)."""
     ds = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
@@ -1106,7 +1103,7 @@ def q_revenue_rollup(sf_dir: str):
         )
         return table_from_pandas(g).cast(part_schema)
 
-    leaf = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(4)
         .groupby(["o_orderpriority", "o_orderstatus"])
@@ -1115,6 +1112,15 @@ def q_revenue_rollup(sf_dir: str):
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
     )
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): the leaf level
+    is a distributed partial+grouped aggregate; the two super-aggregate
+    levels are re-aggregations of the TINY leaf table (|priorities| ×
+    |statuses| rows), done in one single-block task — rolling up the
+    group table instead of re-scanning the fact table."""
+    leaf = _orders_leaf_agg(sf_dir)
 
     def rollup(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -1141,6 +1147,49 @@ def q_revenue_rollup(sf_dir: str):
         )
 
     return leaf.repartition(1).map_batches(rollup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- 8g
+def q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): all four grouping
+    sets, derived like the rollup — one distributed leaf aggregate,
+    the three super-aggregate levels re-aggregated from the tiny group
+    table in a single-block task."""
+    leaf_ds = _orders_leaf_agg(sf_dir)
+
+    def cube(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lvl_p = df.groupby("o_orderpriority", as_index=False)[
+            ["n_orders", "revenue_cents"]
+        ].sum()
+        lvl_p["o_orderstatus"] = None
+        lvl_s = df.groupby("o_orderstatus", as_index=False)[
+            ["n_orders", "revenue_cents"]
+        ].sum()
+        lvl_s["o_orderpriority"] = None
+        total = pd.DataFrame(
+            {
+                "o_orderpriority": [None],
+                "o_orderstatus": [None],
+                "n_orders": [df["n_orders"].sum()],
+                "revenue_cents": [df["revenue_cents"].sum()],
+            }
+        )
+        allv = pd.concat([df, lvl_p, lvl_s, total], ignore_index=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    allv["o_orderpriority"], type=pa.string(), from_pandas=True
+                ),
+                "o_orderstatus": pa.array(
+                    allv["o_orderstatus"], type=pa.string(), from_pandas=True
+                ),
+                "n_orders": pa.array(allv["n_orders"].astype(np.int64)),
+                "revenue_cents": pa.array(allv["revenue_cents"].astype(np.int64)),
+            }
+        )
+
+    return leaf_ds.repartition(1).map_batches(cube, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- 8f
@@ -2176,6 +2225,13 @@ ORACLE_SQL: dict[str, str] = {
         )
         + " FROM lineitem GROUP BY l_returnflag"
     ),
+    "revenue_cube": (
+        "SELECT o_orderpriority, o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS revenue_cents "
+        "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"
+    ),
     "revenue_share": (
         "SELECT o_orderpriority, "
         "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
@@ -2320,6 +2376,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "price_quantiles": q_price_quantiles,
     "revenue_rollup": q_revenue_rollup,
+    "revenue_cube": q_revenue_cube,
     "revenue_share": q_revenue_share,
     "order_quartiles": q_order_quartiles,
     "token_positions": q_token_positions,
