@@ -45,10 +45,18 @@ def _read(path: str, columns=None, **kw):
     # data.  ~1 MB per block keeps small-SF shuffles narrow while large
     # inputs still fan out; real deployments read many files/row-groups
     # and never hit this path's ceiling.
-    if "override_num_blocks" not in kw:
-        import os as _os
+    import os as _os
 
-        size = _os.path.getsize(path)
+    is_dir = _os.path.isdir(path)
+    if "override_num_blocks" not in kw:
+        if is_dir:
+            size = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(path)
+                for f in fs
+            )
+        else:
+            size = _os.path.getsize(path)
         kw["override_num_blocks"] = max(4, min(64, size // (1 << 20) + 1))
     # read with an explicitly metadata-FREE schema: the driver's parquet
     # carries b'pandas' schema metadata whose dict payload makes
@@ -60,7 +68,14 @@ def _read(path: str, columns=None, **kw):
     if "schema" not in kw:
         import pyarrow.parquet as _pq
 
-        full = _pq.read_schema(path).remove_metadata()
+        if is_dir:
+            # read_schema wants one file; for a directory take the first
+            # fragment's schema (all fragments share it by construction)
+            full = (
+                _pq.ParquetDataset(path).schema.remove_metadata()
+            )
+        else:
+            full = _pq.read_schema(path).remove_metadata()
         # the declared schema must EQUAL the projected columns (Ray
         # casts read blocks to it), and a row filter's fields must be
         # inside it — callers list filter fields in `columns` and drop
@@ -576,8 +591,23 @@ GROUP_TOPK = 3
 
 def q_group_topk(sf_dir: str):
     """Per-group top-k: the 3 longest documents per source (n_chars
-    desc, doc_id asc tiebreak) — groupby().map_groups sorted head."""
+    desc, doc_id asc tiebreak).  Map-side partial head first — each
+    block contributes at most GROUP_TOPK rows per source it contains —
+    so the per-source shuffle and the final map_groups carry
+    O(blocks × groups × k), never an unbounded fraction of the corpus
+    (the q_stratified_sample shape; a raw map_groups over the
+    20-cardinality ``source`` would put corpus/20 rows in one pandas
+    group at 100 TB)."""
     ds = _doc(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def partial_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(GROUP_TOPK)
+        )
+        return table_from_pandas(df)
 
     def topk(g: pd.DataFrame) -> pa.Table:
         # arrow return: raw DataFrames re-attach the unhashable b'pandas'
@@ -588,7 +618,11 @@ def q_group_topk(sf_dir: str):
             )
         )
 
-    return ds.groupby("source").map_groups(topk, batch_format="pandas")
+    return (
+        ds.map_batches(partial_head, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- 10b
@@ -606,7 +640,6 @@ def q_sliding_window(sf_dir: str):
 
     def explode(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        epoch = df["ts"].astype("int64") // 10**9  # us→s via ns? see below
         # pandas datetime64[us].astype(int64) yields µs; normalize to s
         epoch = df["ts"].astype("datetime64[us]").astype("int64") // 10**6
         frames = []
@@ -1237,34 +1270,103 @@ NTILE_K = 4
 
 
 def q_order_quartiles(sf_dir: str):
-    """NTILE(4) within each order priority by (totalprice, orderkey):
-    per-group tile assignment via one vectorized pass (first n%k tiles
-    get the extra row — SQL NTILE semantics).  Partitioning assumption
-    (documented, same as the as-of join): one priority's rows fit one
-    group; for skewed partitions pre-bucket by a secondary range key."""
-    ds = _read(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    """NTILE(4) within each order priority by (totalprice, orderkey),
+    as a TWO-PASS histogram rank — no pandas group ever holds a whole
+    priority partition (5 priorities would mean ~20% of ALL orders in
+    one group at 100 TB; the q_price_quantiles shape instead):
+
+    1. per-batch partial counts over (priority, price-cents >> shift)
+       value buckets → one tiny grouped sum; the driver turns it into
+       cumulative counts-before-bucket and per-priority totals — state
+       bounded by |buckets| × |priorities|, never rows;
+    2. a second scan co-locates rows by hash((priority, bucket)) % 256
+       — the largest co-located unit is ONE price bucket (≈ rows /
+       buckets), not one priority — sorts each (priority, bucket)
+       sub-group vectorized, and derives the global rank as
+       cum_before[bucket] + within-bucket rank; the NTILE id follows
+       arithmetically from (rank, n) — SQL semantics: first n%k tiles
+       get the extra row."""
+    path = f"{sf_dir}/orders.parquet"
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    shift = QUANTILE_BUCKET_SHIFT
+    part_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("bucket", pa.int64()), ("n", pa.int64())]
     )
 
-    def tiles(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
-        n = len(g)
-        base, rem = divmod(n, NTILE_K)
-        sizes = np.full(NTILE_K, base, dtype=np.int64)
-        sizes[:rem] += 1
-        quart = np.repeat(np.arange(1, NTILE_K + 1, dtype=np.int64), sizes)
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["bucket"] = cents >> shift
+        g = df.groupby(["o_orderpriority", "bucket"], as_index=False).agg(
+            n=("bucket", "size")
+        )
+        return table_from_pandas(g).cast(part_schema)
+
+    hist = (
+        _read(path, columns=cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |buckets| × |priorities| rows by design
+        .sort_values(["o_orderpriority", "bucket"])
+        .reset_index(drop=True)
+    )
+    hist["cum_before"] = (
+        hist.groupby("o_orderpriority")["n"].cumsum() - hist["n"]
+    )
+    cb = hist[["o_orderpriority", "bucket", "cum_before"]]
+    n_map = hist.groupby("o_orderpriority")["n"].sum().to_dict()
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["cents"] = cents
+        df["bucket"] = cents >> shift
+        pk = (
+            pd.util.hash_array(
+                (df["o_orderpriority"] + ":" + df["bucket"].astype(str)).to_numpy(
+                    dtype=object
+                ),
+                categorize=False,
+            )
+            % np.uint64(256)
+        ).astype(np.int64)
+        df["pkey"] = pk
+        return table_from_pandas(
+            df[["o_orderkey", "o_orderpriority", "cents", "bucket", "pkey"]]
+        )
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        # one pkey partition = whole (priority, bucket) groups; all
+        # vectorized — no Python loop over rows or sub-groups
+        g = g.sort_values(["o_orderpriority", "bucket", "cents", "o_orderkey"])
+        local = (
+            g.groupby(["o_orderpriority", "bucket"], sort=False).cumcount() + 1
+        ).to_numpy()
+        m = g.merge(cb, on=["o_orderpriority", "bucket"], how="left")
+        rank = m["cum_before"].to_numpy() + local
+        n = g["o_orderpriority"].map(n_map).to_numpy()
+        base, rem = n // NTILE_K, n % NTILE_K
+        boundary = rem * (base + 1)
+        tile = np.where(
+            rank <= boundary,
+            np.ceil(rank / np.maximum(base + 1, 1)),
+            rem + np.ceil((rank - boundary) / np.maximum(base, 1)),
+        ).astype(np.int64)
         return pa.table(
             {
                 "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), type=pa.int64()),
-                "o_orderpriority": pa.array(
-                    g["o_orderpriority"], type=pa.string()
-                ),
-                "quartile": pa.array(quart),
+                "o_orderpriority": pa.array(g["o_orderpriority"], type=pa.string()),
+                "quartile": pa.array(tile),
             }
         )
 
-    return ds.groupby("o_orderpriority").map_groups(tiles, batch_format="pandas")
+    return (
+        _read(path, columns=cols)
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(assign, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- 9d
@@ -1301,16 +1403,81 @@ def q_token_positions(sf_dir: str):
 
 
 # ---------------------------------------------------------------- 9f
+DENSE_RANK_BUCKET_SHIFT = 6  # 64-wide n_chars value buckets
+
+
 def q_doc_dense_rank(sf_dir: str):
-    """DENSE_RANK per group: docs ranked by n_chars desc within their
-    source (ties share a rank) — one vectorized factorize per group."""
+    """DENSE_RANK per source by n_chars desc (ties share a rank), as a
+    TWO-PASS distinct-value histogram — no pandas group ever holds a
+    whole source partition (cardinality-20 ``source`` would mean
+    corpus/20 rows per group at 100 TB):
+
+    1. distinct (source, n_chars) pairs (per-batch dedup → grouped
+       count) are bucketed (n_chars >> shift) and counted per (source,
+       bucket); the driver computes, per bucket, how many DISTINCT
+       values sit in higher buckets — dense rank's prefix.  Driver
+       state ≤ |buckets| × |sources| (n_chars is an int, so a bucket
+       holds ≤ 2^shift distinct values by construction);
+    2. a second scan co-locates by hash((source, bucket)) % 256 — the
+       largest co-located unit is one value bucket — and the rank is
+       distinct_above[bucket] + within-bucket dense rank (vectorized
+       first-occurrence cumsum over the descending sort)."""
+    shift = DENSE_RANK_BUCKET_SHIFT
     ds = _doc(sf_dir, ["doc_id", "source", "n_chars"])
 
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["source", "n_chars"]].drop_duplicates()
+        return table_from_pandas(df)
+
+    def to_bucket_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        g = df.groupby(["source", "bucket"], as_index=False).agg(
+            n_distinct=("n_chars", "size")
+        )
+        return table_from_pandas(g)
+
+    hist = (
+        _doc(sf_dir, ["source", "n_chars"])
+        .map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Count())  # exact global distinct pairs
+        .map_batches(to_bucket_partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+        .to_pandas()  # ≤ |buckets| × |sources| rows by design
+        .sort_values(["source", "bucket"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    hist["distinct_above"] = (
+        hist.groupby("source")["n_distinct"].cumsum() - hist["n_distinct"]
+    )
+    da = hist[["source", "bucket", "distinct_above"]]
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        df["pkey"] = (
+            pd.util.hash_array(
+                (df["source"] + ":" + df["bucket"].astype(str)).to_numpy(
+                    dtype=object
+                ),
+                categorize=False,
+            )
+            % np.uint64(256)
+        ).astype(np.int64)
+        return table_from_pandas(df)
+
     def rank(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-        # dense rank = index of each value in the sorted unique values
-        uniq = np.sort(g["n_chars"].unique())[::-1]
-        r = np.searchsorted(-uniq, -g["n_chars"].to_numpy()) + 1
+        g = g.sort_values(
+            ["source", "bucket", "n_chars"], ascending=[True, True, False]
+        )
+        g["is_new"] = (~g.duplicated(subset=["source", "bucket", "n_chars"])).astype(
+            np.int64
+        )
+        local = g.groupby(["source", "bucket"], sort=False)["is_new"].cumsum()
+        m = g.merge(da, on=["source", "bucket"], how="left")
+        r = m["distinct_above"].to_numpy() + local.to_numpy()
         return pa.table(
             {
                 "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
@@ -1319,7 +1486,11 @@ def q_doc_dense_rank(sf_dir: str):
             }
         )
 
-    return ds.groupby("source").map_groups(rank, batch_format="pandas")
+    return (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(rank, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- 10e
@@ -1632,26 +1803,91 @@ def q_packet_full(sf_dir: str):
 # ---------------------------------------------------------------- 14d
 def q_source_profile(sf_dir: str):
     """Per-source profile: distinct-language count + discrete median of
-    n_chars (DuckDB quantile_disc semantics: sorted[ceil(q*n)-1]).
-    Median is not partially mergeable, so this shuffles the 3 pruned
-    columns per group — the standard exact-quantile trade-off; the
-    approximate path at scale is a t-digest-style sketch."""
-    ds = _doc(sf_dir, ["source", "lang", "n_chars"])
+    n_chars (DuckDB quantile_disc: sorted[ceil(q*n)-1]), both computed
+    with BOUNDED per-group state (no group ever holds a whole source):
 
-    def prof(g: pd.DataFrame) -> pa.Table:
-        v = np.sort(g["n_chars"].to_numpy())
-        idx = max(int(np.ceil(0.5 * len(v))) - 1, 0)
+    - median via the two-pass bucket histogram of q_price_quantiles:
+      per-(source, n_chars>>shift) counts → driver locates each
+      source's median bucket + within-bucket rank → a map-only second
+      scan keeps just the selected buckets (≈ rows/buckets per source);
+    - n_langs via the exact distinct-pair aggregate (≤ |sources| ×
+      |langs| rows by design)."""
+    shift = DENSE_RANK_BUCKET_SHIFT
+    part_schema = pa.schema(
+        [("source", pa.string()), ("bucket", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        g = df.groupby(["source", "bucket"], as_index=False).agg(n=("bucket", "size"))
+        return table_from_pandas(g).cast(part_schema)
+
+    hist = (
+        _doc(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |buckets| × |sources| rows by design
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    targets: dict = {}  # (source, bucket) -> rank_within
+    for src, g in hist.groupby("source"):
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        rank = max(int(np.ceil(round(0.5 * n, 9))), 1)
+        i = int(np.searchsorted(cum, rank))
+        before = int(cum[i - 1]) if i else 0
+        targets[(src, int(g["bucket"].to_numpy()[i]))] = rank - before
+    wanted = set(targets)
+
+    def keep_selected(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        mask = [
+            (s, b) in wanted
+            for s, b in zip(df["source"].to_numpy(), df["bucket"].to_numpy())
+        ]
+        return table_from_pandas(df.loc[mask, ["source", "bucket", "n_chars"]])
+
+    picked = (
+        _doc(sf_dir, ["source", "n_chars"])
+        .map_batches(keep_selected, batch_format="pyarrow")
+        .to_pandas()  # ≈ rows/buckets per selected bucket — tiny
+    )
+    medians = {}
+    for (src, b), rank_within in targets.items():
+        vals = np.sort(
+            picked.loc[
+                (picked["source"] == src) & (picked["bucket"] == b), "n_chars"
+            ].to_numpy()
+        )
+        medians[src] = int(vals[rank_within - 1])
+
+    def lang_distinct(batch: pa.Table) -> pa.Table:
         return table_from_pandas(
-            pd.DataFrame(
-                {
-                    "source": [g["source"].iloc[0]],
-                    "n_langs": [np.int64(g["lang"].nunique())],
-                    "median_chars": [np.int64(v[idx])],
-                }
-            )
+            batch.to_pandas()[["source", "lang"]].drop_duplicates()
         )
 
-    return ds.groupby("source").map_groups(prof, batch_format="pandas")
+    pairs = (
+        _doc(sf_dir, ["source", "lang"])
+        .map_batches(lang_distinct, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Count())
+        .to_pandas()  # ≤ |sources| × |langs| rows by design
+    )
+    n_langs = pairs.groupby("source").size().to_dict()
+    return pd.DataFrame(
+        [
+            {
+                "source": src,
+                "n_langs": np.int64(n_langs[src]),
+                "median_chars": np.int64(medians[src]),
+            }
+            for src in sorted(medians)
+        ]
+    )
 
 
 def q_recent_lineitems(sf_dir: str):

@@ -102,16 +102,38 @@ def bucketed_hash_join(
     tagged = _with_bucket(left, key, n_buckets, "l").union(
         _with_bucket(right, key, n_buckets, "r")
     )
+    # with declared schemas, recover each side's columns BY NAME — the
+    # dropna heuristic would silently drop a column that is legitimately
+    # all-null within one bucket, producing inconsistent block schemas —
+    # and pin every output block (incl. empties) to the joined schema,
+    # so the whole join stream is single-schema (no per-bundle
+    # schema-unification warnings, block-schema dedup stays effective)
+    l_names = list(left_schema.names) if left_schema is not None else None
+    r_names = list(right_schema.names) if right_schema is not None else None
+    out_schema = None
+    if left_schema is not None and right_schema is not None:
+        out_schema = pa.schema(
+            list(left_schema)
+            + [f for f in right_schema if f.name not in left_schema.names]
+        )
 
     def merge_bucket(g: pd.DataFrame) -> pa.Table:
         # return ARROW blocks (incl. the empty case): empty no-column
         # pandas frames would pass through downstream map stages
         # unconverted and crash later all-to-alls with mixed block types
-        l = g[g["_side"] == "l"].drop(columns=["_side", "bucket"]).dropna(axis=1, how="all")
-        r = g[g["_side"] == "r"].drop(columns=["_side", "bucket"]).dropna(axis=1, how="all")
+        l = g[g["_side"] == "l"].drop(columns=["_side", "bucket"])
+        r = g[g["_side"] == "r"].drop(columns=["_side", "bucket"])
+        if l_names is not None and r_names is not None:
+            l, r = l[l_names], r[r_names]
+        else:
+            l = l.dropna(axis=1, how="all")
+            r = r.dropna(axis=1, how="all")
         if l.empty or r.empty:
-            return pa.table({})
-        return table_from_pandas(l.merge(r, on=key, how=how))
+            return out_schema.empty_table() if out_schema is not None else pa.table({})
+        merged = table_from_pandas(l.merge(r, on=key, how=how))
+        if out_schema is not None:
+            merged = merged.select(out_schema.names).cast(out_schema)
+        return merged
 
     return tagged.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
 
@@ -188,6 +210,7 @@ def skew_aware_hash_join(
     hot_fraction: float = 0.1,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> Dataset:
     """Inner equi-join that routes HOT keys around the shuffle.
 
@@ -202,11 +225,13 @@ def skew_aware_hash_join(
     3. joins the cold remainder with the normal bucketed shuffle join,
     4. unions the two streams (schemas pre-aligned when given).
 
-    Partitioning assumption (documented, checked by the caller): the
-    RIGHT side of each hot key fits in the object store — the
-    fact⋈dimension skew shape.  When both sides of a hot key are huge,
-    salt the key instead (stages.shuffle.add_salted_key) and merge the
-    salted partials.
+    Partitioning assumption (documented AND enforced): the RIGHT side
+    of each hot key fits in the object store — the fact⋈dimension skew
+    shape.  ``broadcast_budget_bytes`` (default 256 MiB) hard-caps the
+    driver-side hot-right concat; exceeding it RAISES with guidance to
+    salt the key (stages.shuffle.add_salted_key) and merge the salted
+    partials instead — a violated assumption must fail loudly, not OOM
+    the driver.
 
     Cost note: ``left`` is evaluated up to THREE times (histogram +
     the two routed scans) and ``right`` twice — re-scanning is the
@@ -233,15 +258,32 @@ def skew_aware_hash_join(
         return f
 
     # hot path: broadcast the right rows of the hot keys once (small by
-    # the documented assumption; streamed batch-wise, never the whole
-    # right side)
-    hot_right_tbl = pa.concat_tables(
-        list(
-            right.map_batches(split(True), batch_format="pyarrow").iter_batches(
-                batch_size=65536, batch_format="pyarrow"
+    # the enforced assumption; streamed batch-wise with a running byte
+    # budget, never the whole right side)
+    hot_batches: list[pa.Table] = []
+    hot_bytes = 0
+    for b in right.map_batches(split(True), batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        hot_bytes += b.nbytes
+        if hot_bytes > broadcast_budget_bytes:
+            raise ValueError(
+                f"skew_aware_hash_join: hot-key right side exceeds the "
+                f"{broadcast_budget_bytes >> 20} MiB broadcast budget "
+                f"(hot keys {sorted(map(str, hot_set))[:5]}...). Both sides "
+                f"of a hot key are large — salt the key instead "
+                f"(stages.shuffle.add_salted_key) and merge salted partials."
             )
+        hot_batches.append(b)
+    if not hot_batches:
+        # the right side has no rows for any hot key: the hot-left rows
+        # can find no partner, so the plain bucketed join over the FULL
+        # sides is exact (and pa.concat_tables([]) would raise)
+        return bucketed_hash_join(
+            left, right, key=key, n_buckets=n_buckets,
+            left_schema=left_schema, right_schema=right_schema,
         )
-    )
+    hot_right_tbl = pa.concat_tables(hot_batches)
     hot_right_ref = ray.put(hot_right_tbl.to_pandas())
 
     def broadcast_merge(t: pa.Table) -> pa.Table:

@@ -49,8 +49,13 @@ def add_salted_key(
     def salt(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_pylist()
         n = len(keys)
-        rng = np.random.default_rng(seed + n)  # deterministic per batch size
-        salts = rng.integers(0, n_salt, size=n)
+        # content-derived, deterministic (no process-salted hash()):
+        # per-key base hash + within-batch occurrence index, so a hot
+        # key's occurrences round-robin across all n_salt sub-keys even
+        # when equal-sized batches repeat
+        base = pd.util.hash_array(np.asarray(keys, dtype=object), categorize=False)
+        salts = ((base + np.uint64(seed) + np.arange(n, dtype=np.uint64))
+                 % np.uint64(n_salt)).astype(np.int64)
         out = [
             f"{k}#{salts[i] if (hot is None or k in hot) else 0}"
             for i, k in enumerate(keys)

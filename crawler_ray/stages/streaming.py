@@ -22,12 +22,32 @@ import ray
 
 @ray.remote(num_cpus=0)
 class SessionState:
-    """Per-bucket incremental sessionizer (gap-based)."""
+    """Per-bucket incremental sessionizer (gap-based).
 
-    def __init__(self, gap_s: float = 1800.0):
+    ``idle_ttl_s`` bounds actor memory in a long-running stream: users
+    idle longer than the TTL are EVICTED from the open-session map,
+    their totals folded into a per-user closed accumulator
+    (emit-on-evict — never silently dropped).  Exactness: with
+    ``idle_ttl_s >= gap_s`` (enforced), any event from an evicted user
+    arrives more than ``gap_s`` after their last event, so it would
+    have opened a new session anyway — eviction changes no counts.
+    Open state is then bounded by the users ACTIVE within one TTL, not
+    all users ever seen (the watermark discipline of
+    :class:`TumblingWindowState` applied to sessions)."""
+
+    def __init__(self, gap_s: float = 1800.0, idle_ttl_s: float | None = None):
+        if idle_ttl_s is not None and idle_ttl_s < gap_s:
+            raise ValueError(
+                f"idle_ttl_s ({idle_ttl_s}) must be >= gap_s ({gap_s}): "
+                "evicting inside the session gap would split live sessions"
+            )
         self.gap_s = gap_s
+        self.idle_ttl_s = idle_ttl_s
         # user_id -> {"last_ts": pd.Timestamp, "n_sessions": int, "n_events": int}
         self.state: dict = {}
+        # user_id -> {"n_sessions": int, "n_events": int} (evicted totals)
+        self.closed: dict = {}
+        self.max_ts = None
 
     def ingest(self, df: pd.DataFrame) -> int:
         df = df.sort_values(["ts", "event_id"])
@@ -43,12 +63,38 @@ class SessionState:
                     st["n_sessions"] += 1
                 st["last_ts"] = ts
                 st["n_events"] += 1
+        if len(df):
+            m = df["ts"].iloc[-1]
+            self.max_ts = m if self.max_ts is None else max(self.max_ts, m)
+        if self.idle_ttl_s is not None and self.max_ts is not None:
+            cutoff = self.max_ts - pd.Timedelta(seconds=self.idle_ttl_s)
+            for user in [
+                u for u, s in self.state.items() if s["last_ts"] < cutoff
+            ]:
+                acc = self.closed.setdefault(
+                    user, {"n_sessions": 0, "n_events": 0}
+                )
+                st = self.state.pop(user)
+                acc["n_sessions"] += st["n_sessions"]
+                acc["n_events"] += st["n_events"]
         return len(df)
 
+    def open_count(self) -> int:
+        """Size of the open-session map (bounded by TTL-active users)."""
+        return len(self.state)
+
     def snapshot(self) -> pd.DataFrame:
+        merged: dict = {
+            u: {"n_events": s["n_events"], "n_sessions": s["n_sessions"]}
+            for u, s in self.closed.items()
+        }
+        for u, s in self.state.items():
+            acc = merged.setdefault(u, {"n_events": 0, "n_sessions": 0})
+            acc["n_events"] += s["n_events"]
+            acc["n_sessions"] += s["n_sessions"]
         rows = [
             {"user_id": u, "n_events": s["n_events"], "n_sessions": s["n_sessions"]}
-            for u, s in self.state.items()
+            for u, s in merged.items()
         ]
         return pd.DataFrame(rows)
 
@@ -67,14 +113,16 @@ class TumblingWindowState:
     - an event before the watermark is counted in ``late_dropped``
       (recorded, never silent — the repo's no-silent-truncation rule);
     - ``emit_closed()`` flushes windows whose END is below the
-      watermark: each closed window is emitted exactly once, so
-      downstream sees an append-only stream of finalized windows."""
+      watermark: each closed window is emitted exactly once — a kept
+      event has ``ts >= watermark`` and a closed window has
+      ``end <= watermark``, so a closed window can never be re-opened
+      and actor state is bounded by the OPEN windows only (no
+      grows-forever emitted-set bookkeeping)."""
 
     def __init__(self, window_s: float = 3600.0, allowed_lateness_s: float = 900.0):
         self.window_s = float(window_s)
         self.late_s = float(allowed_lateness_s)
         self.counts: dict = {}  # (key, window_start_epoch_s) -> n
-        self.emitted: set = set()
         self.max_ts: float | None = None
         self.late_dropped = 0
 
@@ -108,7 +156,6 @@ class TumblingWindowState:
             if w + self.window_s <= wm:
                 rows.append({"key": k, "window_start": w, "n": n})
                 del self.counts[(k, w)]
-                self.emitted.add((k, w))
         return pd.DataFrame(rows, columns=["key", "window_start", "n"])
 
     def snapshot_open(self) -> pd.DataFrame:
@@ -126,9 +173,16 @@ class IncrementalSessionizer:
     """Driver-side facade: routes micro-batches to key-hash bucket
     actors and merges snapshots."""
 
-    def __init__(self, n_buckets: int = 4, gap_s: float = 1800.0):
+    def __init__(
+        self,
+        n_buckets: int = 4,
+        gap_s: float = 1800.0,
+        idle_ttl_s: float | None = None,
+    ):
         self.n_buckets = n_buckets
-        self.actors = [SessionState.remote(gap_s) for _ in range(n_buckets)]
+        self.actors = [
+            SessionState.remote(gap_s, idle_ttl_s) for _ in range(n_buckets)
+        ]
 
     def ingest_batch(self, df: pd.DataFrame) -> None:
         buckets = df["user_id"].astype("int64") % self.n_buckets

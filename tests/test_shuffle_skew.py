@@ -111,3 +111,81 @@ def test_skew_aware_join_no_hot_keys_falls_back(ray_session):
     out = skew_aware_hash_join(left, right, key="k", hot_fraction=0.5,
                                left_schema=ls, right_schema=rs).to_pandas()
     assert sorted(out["k"]) == ["b", "d"]
+
+
+def test_skew_join_empty_hot_right_falls_back(ray_session):
+    """Left has a hot key the right side has NO rows for: the hot-side
+    scan yields zero batches — must fall back to the plain bucketed
+    join (exact: hot rows simply find no partner), not crash on
+    pa.concat_tables([])."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.joins import skew_aware_hash_join
+
+    lk = ["h"] * 50 + ["a", "b"]
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lk, type=pa.string()),
+                  "lv": pa.array(list(range(len(lk))), type=pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b"], type=pa.string()),
+                  "rv": pa.array([10, 20], type=pa.int64())})
+    )
+    ls = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.string()), ("rv", pa.int64())])
+    out = skew_aware_hash_join(left, right, key="k", hot_fraction=0.3,
+                               left_schema=ls, right_schema=rs).to_pandas()
+    assert sorted(out["k"]) == ["a", "b"]
+
+
+def test_skew_join_broadcast_budget_raises(ray_session):
+    """An oversized hot-key RIGHT side must raise with salt-the-key
+    guidance instead of concatenating onto the driver — the enforced
+    form of the small-hot-right partitioning assumption."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from crawler_ray.stages.joins import skew_aware_hash_join
+
+    n = 2000
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["h"] * 100 + ["c"] * 50, type=pa.string()),
+                  "lv": pa.array(list(range(150)), type=pa.int64())})
+    )
+    # hot right side ~1.6 MB, budget 1 MB → must raise
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["h"] * n + ["c"], type=pa.string()),
+                  "payload": pa.array(["x" * 800] * (n + 1), type=pa.string())})
+    )
+    ls = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs = pa.schema([("k", pa.string()), ("payload", pa.string())])
+    with _pytest.raises(ValueError, match="salt the key"):
+        skew_aware_hash_join(
+            left, right, key="k", hot_fraction=0.3,
+            left_schema=ls, right_schema=rs,
+            broadcast_budget_bytes=1 << 20,
+        )
+
+
+def test_salted_key_round_robins_hot_occurrences(ray_session):
+    """The salt must vary across a hot key's occurrences (round-robin
+    balance) and be deterministic across runs — the round-3 seed reused
+    one salt sequence for equal-sized batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.shuffle import add_salted_key
+
+    keys = ["hot"] * 800 + [f"k{i}" for i in range(200)]
+    ds = rd.from_arrow(pa.table({"host": keys, "v": list(range(1000))}))
+    out1 = add_salted_key(ds, "host", n_salt=8, hot_keys=["hot"]).to_pandas()
+    out2 = add_salted_key(ds, "host", n_salt=8, hot_keys=["hot"]).to_pandas()
+    assert (out1["salted_key"] == out2["salted_key"]).all()  # deterministic
+    counts = out1.loc[
+        out1["salted_key"].str.startswith("hot#"), "salted_key"
+    ].value_counts()
+    assert len(counts) == 8  # all sub-keys used
+    assert counts.max() - counts.min() <= 8  # near-perfect balance

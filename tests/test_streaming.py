@@ -104,3 +104,52 @@ def test_tumbling_window_matches_batch_when_in_order(ray_session):
     }
     assert inc_map == batch_map
     assert ray.get(actor.stats.remote())["late_dropped"] == 0
+
+
+def test_session_ttl_eviction_bounded_and_exact(ray_session):
+    """A long log of mostly one-shot users: with idle_ttl_s the open
+    map stays bounded by TTL-active users while the snapshot still
+    equals the no-TTL answer exactly (emit-on-evict, ttl >= gap)."""
+    import numpy as np
+    import ray
+
+    from crawler_ray.stages.streaming import SessionState
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 300 one-shot users spread over 30000s, plus one recurring user
+    for i in range(300):
+        rows.append((1000 + i, i * 100))
+    for t in range(0, 30000, 500):
+        rows.append((7, t))
+    rows.sort(key=lambda r: r[1])
+    df = pd.DataFrame(rows, columns=["user_id", "ts_s"])
+    df["ts"] = pd.to_datetime(df["ts_s"], unit="s")
+    df["event_id"] = range(len(df))
+    df = df[["user_id", "ts", "event_id"]]
+
+    plain = SessionState.remote(gap_s=600.0)
+    ttl = SessionState.remote(gap_s=600.0, idle_ttl_s=1200.0)
+    for i in range(0, len(df), 40):  # ts-ordered micro-batches
+        chunk = df.iloc[i : i + 40]
+        ray.get([plain.ingest.remote(chunk), ttl.ingest.remote(chunk)])
+
+    open_n = ray.get(ttl.open_count.remote())
+    # TTL-active users at the end: a handful, never all 301
+    assert open_n <= 30, open_n
+    a = ray.get(plain.snapshot.remote()).sort_values("user_id").reset_index(drop=True)
+    b = ray.get(ttl.snapshot.remote()).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_session_ttl_below_gap_rejected(ray_session):
+    import ray
+    import pytest as _pytest
+
+    from crawler_ray.stages.streaming import SessionState
+
+    actor = SessionState.remote(gap_s=600.0, idle_ttl_s=60.0)
+    with _pytest.raises(ray.exceptions.RayActorError):
+        ray.get(actor.ingest.remote(pd.DataFrame(
+            {"user_id": [1], "ts": [pd.Timestamp("2024-01-01")], "event_id": [0]}
+        )))
