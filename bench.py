@@ -115,6 +115,9 @@ def run_crawl_bench() -> dict:
         fetch_batch_size=320,
         feedback=True,
         wave_horizon=CRAWL_WAVE_HORIZON,
+        # task-fanout wave executor (default; =0 re-measures the
+        # Dataset-per-wave executor for A/B attribution)
+        task_fanout=os.environ.get("BENCH_TASK_FANOUT", "1") == "1",
     )
     # default THREADS: the measured-faster local mode (BASELINE.md A/B —
     # driver threads beat per-shard runner actors locally because actor
