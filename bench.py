@@ -260,7 +260,14 @@ def run_scaling() -> None:
         probes = []
         probes_mt = []
         time.sleep(cooldown)
-        for _ in range(repeats):
+        for rep in range(repeats):
+            if rep:
+                # inter-repeat cool-down: back-to-back crawl runs leave
+                # the host in the spawn/IPC-depressed mode for tens of
+                # seconds (round-3 finding: the spawn-heavy crawl is the
+                # last workload to recover), so consecutive repeats
+                # under-report the level's capability
+                time.sleep(int(os.environ.get("BENCH_SCALING_REPEAT_COOLDOWN_S", "25")))
             probes.append(host_probe())
             probes_mt.append(host_probe_mt())
             proc = subprocess.run(

@@ -13,6 +13,7 @@ import hashlib
 import math
 
 import numpy as np
+import pyarrow as pa
 
 
 class HyperLogLog:
@@ -159,3 +160,108 @@ def heavy_hitters(ds, col: str, k: int = 64, tokenize=None):
         merged.merge(other)
     vals, counts = merged.to_items()
     return pd.DataFrame({"item": vals, "min_count": counts})
+
+
+class QuantileSketch:
+    """Mergeable quantile sketch (KLL-style levels with deterministic
+    alternating compaction — public algorithm family: Karnin, Lang,
+    Liberty, FOCS 2016; this is the simplified deterministic variant).
+
+    Structure: ``levels[i]`` holds items of weight 2**i; when a level
+    exceeds ``k`` items it is sorted and every other item (offset
+    alternating per compaction, deterministic) is promoted to level
+    i+1.  The alternating offset keeps the compaction unbiased in the
+    long run while staying reproducible across runs and merge orders
+    fed the same data order.
+
+    Guarantees exercised by tests/test_sketches.py: rank error of
+    ``quantile(q)`` within ~2/k of n on uniform data, and
+    sketch(all) ≈ merge(sketch(parts)) within the same bound.  Use for
+    streaming/mergeable percentiles; the EXACT path is the two-pass
+    bucket histogram (pipelines.queries.q_price_quantiles)."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[list] = [[]]
+        self._parity = 0
+        self.n = 0
+
+    def add_many(self, values) -> "QuantileSketch":
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        self.levels[0].extend(vals.tolist())
+        self.n += len(vals)
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = sorted(self.levels[i])
+                off = self._parity & 1
+                self._parity += 1
+                promoted = buf[off::2]
+                self.levels[i] = []
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[i + 1].extend(promoted)
+            i += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, items in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append([])
+            self.levels[i].extend(items)
+        self.n += other.n
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        items: list[tuple[float, int]] = []
+        for i, level in enumerate(self.levels):
+            w = 1 << i
+            items.extend((v, w) for v in level)
+        if not items:
+            return float("nan")
+        items.sort()
+        total = sum(w for _, w in items)
+        target = max(1, int(np.ceil(round(q * total, 9))))
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.levels, self._parity, self.n))
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "QuantileSketch":
+        import pickle
+
+        k, levels, parity, n = pickle.loads(raw)
+        s = cls(k)
+        s.levels, s._parity, s.n = levels, parity, n
+        return s
+
+
+def approx_quantiles(ds, col: str, qs: list[float], k: int = 256) -> dict:
+    """Distributed approximate quantiles: one fixed-size
+    ``QuantileSketch`` per block (map_batches partial), merged on the
+    driver — the mergeable-summaries pattern (same shape as
+    approx_distinct / heavy_hitters): the shuffle-free path for
+    streaming percentiles over 100 TB."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        s.add_many(batch[col].to_numpy(zero_copy_only=False))
+        return pa.table({"blob": pa.array([s.to_bytes()], type=pa.binary())})
+
+    merged = QuantileSketch(k)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged.merge(QuantileSketch.from_bytes(row["blob"]))
+    return {f"p{int(q * 100)}": merged.quantile(q) for q in qs}

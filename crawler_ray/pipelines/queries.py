@@ -1493,6 +1493,177 @@ def q_doc_dense_rank(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- 9g
+def q_doc_cume_dist(sf_dir: str):
+    """CUME_DIST per source over n_chars ascending — the third member
+    of the bounded two-pass window-rank family (NTILE, DENSE_RANK,
+    CUME_DIST all share the histogram shape; no pandas group ever holds
+    a whole source):
+
+    1. row counts per (source, n_chars >> shift) bucket → driver
+       computes rows-below-bucket + per-source totals (state ≤
+       |buckets| × |sources|);
+    2. second scan co-located by hash((source, bucket)) % 256; within a
+       bucket the tie-inclusive rank is pandas rank(method='max'), and
+       cume_dist = (rows_below + rank_max) / n — one double division of
+       exact ints, bit-equal across engines."""
+    shift = DENSE_RANK_BUCKET_SHIFT
+    part_schema = pa.schema(
+        [("source", pa.string()), ("bucket", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        g = df.groupby(["source", "bucket"], as_index=False).agg(n=("bucket", "size"))
+        return table_from_pandas(g).cast(part_schema)
+
+    hist = (
+        _doc(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |buckets| × |sources| rows by design
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    hist["rows_below"] = hist.groupby("source")["n"].cumsum() - hist["n"]
+    rb = hist[["source", "bucket", "rows_below"]]
+    n_map = hist.groupby("source")["n"].sum().to_dict()
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        df["pkey"] = (
+            pd.util.hash_array(
+                (df["source"] + ":" + df["bucket"].astype(str)).to_numpy(
+                    dtype=object
+                ),
+                categorize=False,
+            )
+            % np.uint64(256)
+        ).astype(np.int64)
+        return table_from_pandas(df)
+
+    def cume(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["source", "bucket", "n_chars"])
+        rank_max = (
+            g.groupby(["source", "bucket"], sort=False)["n_chars"]
+            .rank(method="max")
+            .to_numpy()
+        )
+        m = g.merge(rb, on=["source", "bucket"], how="left")
+        n = g["source"].map(n_map).to_numpy()
+        cd = (m["rows_below"].to_numpy() + rank_max) / n
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+                "source": pa.array(g["source"], type=pa.string()),
+                "cd": pa.array(cd, type=pa.float64()),
+            }
+        )
+
+    return (
+        _doc(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(cume, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------- 9h
+TFIDF_TOPK = 5
+TFIDF_MICRO = 1_000_000
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF top terms per source with an exact integer score
+    (tf × 1e6 // df — floor division of exact counts, so both engines
+    agree bit-for-bit; a float ln() idf would differ in the last ulp
+    across libms):
+
+    - tf: per-batch partial (source, token, n) counts → grouped sum
+      (shuffle bounded by |vocab| × |sources| per block, never token
+      occurrences);
+    - df: per-source presence summed over the tf table → tiny driver
+      dict (≤ |vocab| entries), broadcast into the scoring map;
+    - top-k per source: map-side partial head → final bounded
+      map_groups (the group_topk shape)."""
+    ds = _doc(sf_dir, ["source", "text"])
+    part_schema = pa.schema(
+        [("source", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for tok in _VOCAB_TOKEN.findall((t or "").lower()):
+                c[(s, tok)] += 1
+        if not c:
+            return part_schema.empty_table()
+        ks, ts, ns = zip(*[(s, tok, n) for (s, tok), n in c.items()])
+        return pa.table(
+            {
+                "source": pa.array(ks, type=pa.string()),
+                "token": pa.array(ts, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    tf = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="tf"))
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": batch["token"],
+                "one": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("one", alias_name="df"))
+        .to_pandas()  # ≤ |vocab| rows by design
+    )
+    df_map = dict(zip(df_tbl["token"], df_tbl["df"].astype(np.int64)))
+
+    def score_and_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dfv = df["token"].map(df_map).to_numpy().astype(np.int64)
+        tfv = df["tf"].to_numpy().astype(np.int64)
+        df["df"] = dfv
+        df["tfidf_micro"] = (tfv * TFIDF_MICRO) // dfv
+        df = (
+            df.sort_values(["tfidf_micro", "token"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(TFIDF_TOPK)
+        )
+        df["tf"] = df["tf"].astype(np.int64)
+        return table_from_pandas(
+            df[["source", "token", "tf", "df", "tfidf_micro"]]
+        )
+
+    def final_topk(g: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(
+            g.sort_values(["tfidf_micro", "token"], ascending=[False, True]).head(
+                TFIDF_TOPK
+            )
+        )
+
+    return (
+        tf.map_batches(score_and_prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- 10e
 ROLL_WINDOW = 3
 
@@ -2089,6 +2260,25 @@ def q_doc_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def q_fingerprint_near_dups(sf_dir: str):
+    """Winnowing-fingerprint near-dup pairs (resemblance ≥ 0.5): the
+    sub-document dedup signal — shared passages surface even when
+    whole-document MinHash dilutes them.  Rolling k-gram hash +
+    rightmost-min window selection (Schleimer et al., SIGMOD 2003);
+    all-bounded shape documented on stages.dedup.fingerprint_near_dups;
+    ground-truth pytest (exact all-pairs fingerprint Jaccard) in
+    tests/test_ground_truth.py."""
+    from crawler_ray.stages.dedup import fingerprint_near_dups
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+    pairs = fingerprint_near_dups(ds, threshold=0.5)
+    return (
+        pairs.to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs (hamming ≤ 6) over documents."""
     from crawler_ray.stages.dedup import simhash_near_dups
@@ -2097,6 +2287,20 @@ def q_simhash_near_dups(sf_dir: str):
     pairs = simhash_near_dups(ds, hamming_threshold=6)
     pdf = pairs.to_pandas()
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_approx_value_quantiles(sf_dir: str):
+    """Mergeable-sketch quantiles of the events value column (KLL-style
+    deterministic compaction; functions.sketches.QuantileSketch) — the
+    shuffle-free streaming-percentile path; rank-error ground truth in
+    tests/test_sketches.py.  The EXACT path is q_price_quantiles."""
+    from crawler_ray.functions.sketches import approx_quantiles
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["value"])
+    got = approx_quantiles(ds, "value", [0.25, 0.5, 0.9], k=256)
+    return pd.DataFrame(
+        [{"quantile": k, "value": float(v)} for k, v in sorted(got.items())]
+    )
 
 
 def q_approx_distinct(sf_dir: str):
@@ -2494,6 +2698,23 @@ ORACLE_SQL: dict[str, str] = {
         "PARTITION BY source ORDER BY n_chars DESC) AS BIGINT) AS rank "
         "FROM documents"
     ),
+    "doc_cume_dist": (
+        "SELECT doc_id, source, CUME_DIST() OVER ("
+        "PARTITION BY source ORDER BY n_chars) AS cd FROM documents"
+    ),
+    "tfidf_top_terms": (
+        "WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+')) AS token FROM documents), "
+        "tf AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token), "
+        "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token) "
+        "SELECT source, token, tf, df, tfidf_micro FROM ("
+        f"SELECT tf.source, tf.token, tf.tf, df.df, "
+        f"CAST((tf.tf * {TFIDF_MICRO}) // df.df AS BIGINT) AS tfidf_micro, "
+        f"ROW_NUMBER() OVER (PARTITION BY tf.source ORDER BY "
+        f"(tf.tf * {TFIDF_MICRO}) // df.df DESC, tf.token) AS rn "
+        "FROM tf JOIN df USING (token)) "
+        f"WHERE rn <= {TFIDF_TOPK}"
+    ),
     "rolling_value_sum": (
         "SELECT event_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id "
@@ -2634,6 +2855,8 @@ QUERIES = {
     "source_profile": q_source_profile,
     "recent_lineitems": q_recent_lineitems,
     "salted_hot_key_agg": q_salted_hot_key_agg,
+    "doc_cume_dist": q_doc_cume_dist,
+    "tfidf_top_terms": q_tfidf_top_terms,
     # non-SQL-expressible (driver records rows-only checks)
     "dedup_clusters": q_dedup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2641,9 +2864,11 @@ QUERIES = {
     "simhash_blocks": q_simhash_blocks,
     "simhash_near_dups": q_simhash_near_dups,
     "doc_fingerprints": q_doc_fingerprints,
+    "fingerprint_near_dups": q_fingerprint_near_dups,
     "language_id": q_language_id,
     "media_features": q_media_features,
     "approx_distinct": q_approx_distinct,
+    "approx_value_quantiles": q_approx_value_quantiles,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "pack_sequences": q_pack_sequences,
     "quantized_embeddings": q_quantized_embeddings,

@@ -733,3 +733,204 @@ def embedding_near_dups(
         return stage(g)  # CosineDupStage emits schema-pinned Arrow
 
     return with_bucket.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# -------------------------------------------------- winnowing fingerprints
+def fingerprint_docs(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, w: int = 4,
+) -> Dataset:
+    """Map-only explode to (doc_id, fp:int64, n_fps) rows — one row
+    per winnowing fingerprint (functions.fingerprint; rolling k-gram
+    polynomial hash + rightmost-min window selection).  ``fp`` is the
+    uint64 hash REINTERPRETED as int64 bit-pattern (may be negative):
+    grouped aggregates on a uint64 key above 2**63 fall back to Ray's
+    pickled-object Arrow extension column, so the key stays
+    Arrow-native int64 end to end.  ``n_fps`` rides along so the union
+    size of a pair is derivable without another scan."""
+    from crawler_ray.functions.fingerprint import winnow_fingerprints
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fps, counts = [], [], []
+        for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            f = winnow_fingerprints(t or "", k=k, w=w).view(np.int64)
+            ids.extend([d] * len(f))
+            fps.extend(f.tolist())
+            counts.extend([len(f)] * len(f))
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "fp": pa.array(fps, type=pa.int64()),
+                "n_fps": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def fingerprint_near_dups(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 256,
+) -> Dataset:
+    """Near-duplicate pairs by winnowing-fingerprint resemblance
+    |A∩B| / |A∪B| ≥ threshold — the sub-document dedup signal (shared
+    passages count even when whole-doc MinHash dilutes them).
+
+    Fingerprints present in more than ``max_df`` documents are STOP
+    FINGERPRINTS — boilerplate k-grams (common words, shared chrome) —
+    and are excluded from the fingerprint space (both intersection and
+    union), the MOSS rule (Schleimer et al., SIGMOD 2003 §5 discard
+    over-frequent fingerprints).  This is a semantic definition, not a
+    truncation: resemblance is exact over the filtered space at any
+    corpus size, and it bounds every fp's doc list at ``max_df`` so the
+    pair explosion is O(df²) with df ≤ max_df — no silent caps anywhere.
+
+    Shape (all bounded, nothing corpus-sized on the driver):
+    1. pass A: document frequency per fp (per-batch partial counts →
+       grouped sum); fps with df > max_df collect to a tiny driver-side
+       stop set (boilerplate only) broadcast into pass B;
+    2. pass B: re-explode with stop fps dropped and per-doc n_fps
+       recomputed post-filter (the text is winnowed twice — two map
+       scans instead of materializing the exploded corpus);
+    3. co-locate by hash(fp) % 64 fixed partitions; within a partition
+       every fp's doc list yields pairs vectorized (triu), list size
+       ≤ max_df by construction (asserted, raise not cap);
+    4. one grouped count per (id_a, id_b): the number of co-occurring
+       fingerprints IS |A∩B| exactly (each shared fp contributes one
+       pair row);
+    5. |A∪B| = n_fps_a + n_fps_b − |A∩B| using the n_fps values carried
+       through the pair rows (no join / second scan needed);
+    6. filter resemblance ≥ threshold (double division of exact ints).
+    """
+    from crawler_ray.functions.fingerprint import winnow_fingerprints
+
+    # ---- pass A: stop-fingerprint set (df > max_df) ----
+    fps0 = fingerprint_docs(ds, text_col=text_col, id_col=id_col, k=k, w=w)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["fp"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "fp": pa.array(vals, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    df_ds = (
+        fps0.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(_Sum("n", alias_name="df"))
+    )
+
+    def keep_stops(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["df"], max_df))
+
+    stop_pdf = df_ds.map_batches(
+        keep_stops, batch_format="pyarrow"
+    ).to_pandas()  # boilerplate fps only — tiny by definition
+    stop_arr = np.sort(stop_pdf["fp"].to_numpy().astype(np.int64))
+
+    # ---- pass B: explode with stop fps dropped, n_fps post-filter ----
+    def explode_filtered(batch: pa.Table) -> pa.Table:
+        ids, fps, counts = [], [], []
+        for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            f = winnow_fingerprints(t or "", k=k, w=w).view(np.int64)
+            if len(stop_arr):
+                f = f[~np.isin(f, stop_arr)]
+            ids.extend([d] * len(f))
+            fps.extend(f.tolist())
+            counts.extend([len(f)] * len(f))
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "fp": pa.array(fps, type=pa.int64()),
+                "n_fps": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            batch["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(64)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    exploded = ds.map_batches(
+        explode_filtered, batch_format="pyarrow"
+    ).map_batches(add_pkey, batch_format="pyarrow")
+
+    def pairs_of_partition(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
+        frames = []
+        for fp_val, grp in g.groupby("fp", sort=False):
+            order = np.argsort(grp[id_col].to_numpy())
+            members = grp[id_col].to_numpy()[order]
+            nf = grp["n_fps"].to_numpy()[order]
+            m = len(members)
+            if m < 2:
+                continue
+            if m > max_df:  # impossible post stop-filter; raise, never cap
+                raise RuntimeError(
+                    f"fingerprint {fp_val} has df={m} > max_df={max_df} "
+                    "after the stop-fingerprint pass — pass A missed it"
+                )
+            ia, ib = np.triu_indices(m, k=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": members[ia], "id_b": members[ib],
+                        "nf_a": nf[ia], "nf_b": nf[ib],
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "nf_a": pa.array([], type=pa.int64()),
+                    "nf_b": pa.array([], type=pa.int64()),
+                }
+            )
+        return table_from_pandas(pd.concat(frames, ignore_index=True))
+
+    pairs = exploded.groupby("pkey").map_groups(
+        pairs_of_partition, batch_format="pandas"
+    )
+    from ray.data.aggregate import Max
+
+    counted = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_shared"),
+        Max("nf_a", alias_name="nf_a"),
+        Max("nf_b", alias_name="nf_b"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (
+            batch["nf_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            + batch["nf_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            - inter
+        )
+        res = inter / np.maximum(union, 1)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "n_shared": pa.array(inter),
+                "resemblance": pa.array(res, type=pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["resemblance"], threshold))
+
+    return counted.map_batches(finalize, batch_format="pyarrow")

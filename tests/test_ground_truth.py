@@ -391,3 +391,107 @@ def test_int8_quantization_cosine_and_recall(ray_session):
     )
     approx = set(brute_force_topk(rd.from_arrow(dq_tbl).repartition(4), q, k=10)["vec_id"])
     assert len(exact & approx) >= 9
+
+
+def _naive_winnow(text: str, k: int = 8, w: int = 4) -> set:
+    """Independent, loop-based winnowing reimplementation: direct
+    per-k-gram polynomial evaluation with Python ints (no vectorized
+    rolling), explicit window scan choosing the rightmost minimum."""
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", (text or "").lower()).strip()
+    b = norm.encode("utf-8")
+    k_ = k
+    if len(b) < k_:
+        return set()
+    B, M = 1000003, 1 << 64
+    hashes = []
+    for i in range(len(b) - k_ + 1):
+        h = 0
+        for c in b[i : i + k_]:
+            h = (h * B + c) % M
+        hashes.append(h)
+    if len(hashes) <= w:
+        window = hashes
+        mn = min(window)
+        ri = max(i for i, v in enumerate(window) if v == mn)
+        return {window[ri]}
+    out = set()
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i : i + w]
+        mn = min(window)
+        ri = max(j for j, v in enumerate(window) if v == mn)
+        out.add(window[ri])
+    return out
+
+
+def test_winnow_fingerprints_ground_truth(doc_texts):
+    """Vectorized winnowing ≡ the naive loop implementation on every
+    sf0.001 doc, plus the SIGMOD-2003 guarantee on a constructed pair:
+    documents sharing a passage ≥ w+k-1 chars share ≥ 1 fingerprint."""
+    from crawler_ray.functions.fingerprint import (
+        K_GRAM,
+        WINDOW,
+        winnow_fingerprints,
+    )
+
+    for i, t in list(doc_texts.items())[:200]:
+        fast = set(int(x) for x in winnow_fingerprints(t or ""))
+        assert fast == _naive_winnow(t or ""), f"doc {i}"
+
+    shared = "x" * (K_GRAM + WINDOW - 1)  # exactly the guarantee length
+    a = "aaaa bbbb " + shared + " cccc"
+    b = "zzzz qqqq rrrr " + shared + " pppp kkkk"
+    fa = set(int(x) for x in winnow_fingerprints(a))
+    fb = set(int(x) for x in winnow_fingerprints(b))
+    assert fa & fb, "guarantee violated: shared passage, no shared fingerprint"
+    # and empty/short docs degrade to empty sets, not errors
+    assert len(winnow_fingerprints("")) == 0
+    assert len(winnow_fingerprints("ab")) == 0
+
+
+def test_fingerprint_near_dups_ground_truth(ray_session, doc_texts):
+    """Engine pairs vs exhaustive all-pairs fingerprint Jaccard over
+    all sf0.001 docs, under the same stop-fingerprint rule the engine
+    defines (df > max_df fps excluded from the space — the MOSS
+    discard-over-frequent rule): exact pair set AND bit-equal
+    resemblance values (no LSH recall slack — fingerprint co-location
+    is exact)."""
+    import itertools as _it
+    from collections import Counter
+
+    from crawler_ray.functions.fingerprint import (
+        fingerprint_jaccard,
+        winnow_fingerprints,
+    )
+    from crawler_ray.pipelines.queries import q_fingerprint_near_dups
+
+    MAX_DF = 256  # engine default (stages.dedup.fingerprint_near_dups)
+    ids = sorted(doc_texts)
+    raw = {i: winnow_fingerprints(doc_texts[i] or "") for i in ids}
+    df = Counter()
+    for f in raw.values():
+        df.update(int(x) for x in f)
+    stop = {f for f, n in df.items() if n > MAX_DF}
+    assert stop, "fixture should exercise the stop-fingerprint path"
+    fps = {
+        i: np.array(
+            sorted(int(x) for x in f if int(x) not in stop), dtype=np.uint64
+        )
+        for i, f in raw.items()
+    }
+    truth = {}
+    for a, b in _it.combinations(ids, 2):
+        r = fingerprint_jaccard(fps[a], fps[b])
+        if r >= 0.5:
+            truth[(a, b)] = r
+
+    got = q_fingerprint_near_dups(SF)
+    engine = {
+        (int(r.id_a), int(r.id_b)): r.resemblance
+        for r in got.itertuples(index=False)
+    }
+    assert truth, "fixture must contain true near-dup pairs"
+    assert set(engine) == set(truth)
+    for p, r in engine.items():
+        assert r == pytest.approx(truth[p], abs=1e-12)

@@ -105,3 +105,63 @@ def test_heavy_hitters_operator():
     assert "hot" in kept and "warm" in kept
     assert kept["hot"] <= 2000 and kept["warm"] <= 1000
     assert df["min_count"].is_monotonic_decreasing
+
+
+def test_quantile_sketch_rank_error():
+    """Rank error of quantile(q) within 2% of n at k=256 on 50k
+    shuffled-uniform values (exact rank computed brute-force)."""
+    from crawler_ray.functions.sketches import QuantileSketch
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(np.arange(50_000, dtype=np.float64))
+    s = QuantileSketch(k=256)
+    for i in range(0, len(vals), 4096):
+        s.add_many(vals[i : i + 4096])
+    srt = np.sort(vals)
+    n = len(vals)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = s.quantile(q)
+        true_rank = q * n
+        est_rank = np.searchsorted(srt, est, side="right")
+        assert abs(est_rank - true_rank) <= 0.02 * n, (q, est_rank, true_rank)
+
+
+def test_quantile_sketch_merge_matches_single_stream():
+    """sketch(all) and merge(sketch(parts)) agree within the same rank
+    bound — the mergeable-summaries contract that makes the sketch a
+    valid map_batches partial."""
+    from crawler_ray.functions.sketches import QuantileSketch
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 100, size=30_000)
+    whole = QuantileSketch(k=256).add_many(vals)
+    merged = QuantileSketch(k=256)
+    for i in range(0, len(vals), 3_000):
+        merged.merge(QuantileSketch(k=256).add_many(vals[i : i + 3_000]))
+    srt = np.sort(vals)
+    n = len(vals)
+    for q in (0.1, 0.5, 0.9):
+        ra = np.searchsorted(srt, whole.quantile(q), side="right")
+        rb = np.searchsorted(srt, merged.quantile(q), side="right")
+        assert abs(ra - q * n) <= 0.03 * n
+        assert abs(rb - q * n) <= 0.03 * n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_operator():
+    """Distributed sketch quantiles within 3% rank error of the exact
+    empirical quantiles of the events value column."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.functions.sketches import approx_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["value"]).repartition(8)
+    got = approx_quantiles(ds, "value", [0.25, 0.5, 0.9], k=256)
+    vals = np.sort(
+        pq.read_table(f"{sf}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    n = len(vals)
+    for q, key in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+        est_rank = np.searchsorted(vals, got[key], side="right")
+        assert abs(est_rank - q * n) <= 0.03 * n, (key, got[key])
