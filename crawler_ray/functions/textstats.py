@@ -107,3 +107,44 @@ def bpe_count_batch(arr) -> np.ndarray:
 
 def detect_language_batch(arr) -> np.ndarray:
     return np.array([detect_language(x or "") for x in arr], dtype=object)
+
+
+_GRAM_TOKEN = re.compile(r"[a-z0-9_]+")
+
+
+def repetition_signals_micro(text: str, micro: int = 1_000_000) -> tuple:
+    """Gopher-style repetition signals (Rae et al. 2021, App. A —
+    public paper) as integer micro-fractions of total token chars:
+    (top2_micro, top3_micro, dup5_micro).
+
+    - topN: chars of the most frequent word N-gram × its count;
+    - dup5: chars of ALL word 5-grams with count ≥ 2, summed over
+      DISTINCT grams (documented simplification of the paper's
+      positional-union rule so the DuckDB SQL twin is exact).
+
+    Numerators are exact ints; one floor division at the end —
+    bit-equal across engines.  Kernel shared by
+    pipelines.queries.q_repetition_signals and its tests."""
+    from collections import Counter
+
+    toks = _GRAM_TOKEN.findall((text or "").lower())
+    lens = [len(w) for w in toks]
+    total = sum(lens)
+    out = []
+    for n, mode in ((2, "top"), (3, "top"), (5, "dup")):
+        if total == 0 or len(toks) < n:
+            out.append(0)
+            continue
+        c: dict = Counter()
+        chars: dict = {}
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i : i + n])
+            c[g] += 1
+            if g not in chars:
+                chars[g] = sum(lens[i : i + n])
+        if mode == "top":
+            num = max(cnt * chars[g] for g, cnt in c.items())
+        else:
+            num = sum(cnt * chars[g] for g, cnt in c.items() if cnt >= 2)
+        out.append((num * micro) // total)
+    return tuple(out)

@@ -1664,6 +1664,304 @@ def q_tfidf_top_terms(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- 9i
+REP_MICRO = 1_000_000
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" App. A quality filters — public paper;
+    the reference crawler has only the whole-doc quality score,
+    functions/textops.py:108): fraction of token characters inside
+
+    - the most frequent word 2-gram  (``top2_micro``),
+    - the most frequent word 3-gram  (``top3_micro``),
+    - ALL duplicated word 5-grams    (``dup5_micro``, count ≥ 2,
+      summed over distinct grams — the documented simplification of
+      Gopher's positional-union rule so the SQL twin is exact).
+
+    All three are integer micro-fractions: numerators are exact int
+    char counts (gram char length × occurrence count), one floor
+    division by the doc's total token chars at the end — bit-equal
+    across engines, no float accumulation.  Pure map (no shuffle);
+    kernel shared with tests at
+    functions.textstats.repetition_signals_micro."""
+    from crawler_ray.functions.textstats import repetition_signals_micro
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "top2_micro": [], "top3_micro": [], "dup5_micro": []}
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t2, t3, d5 = repetition_signals_micro(t, REP_MICRO)
+            out["doc_id"].append(d)
+            out["top2_micro"].append(t2)
+            out["top3_micro"].append(t3)
+            out["dup5_micro"].append(d5)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "top2_micro": pa.array(out["top2_micro"], type=pa.int64()),
+                "top3_micro": pa.array(out["top3_micro"], type=pa.int64()),
+                "dup5_micro": pa.array(out["dup5_micro"], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- 9m
+LM_VOCAB = 4096
+
+
+def q_bigram_lm_score(sf_dir: str):
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    public): train an add-one-smoothed bigram LM on the corpus, then
+    score every document by mean negative log-likelihood per bigram —
+    low NLL ≈ fluent/common phrasing, high NLL ≈ gibberish.  The
+    reference has only heuristic quality scores (textops.py:108).
+
+    Scale shape: (1) unigram+bigram counts via per-batch Counter
+    partials → grouped sums (bounded by distinct grams per block, never
+    occurrences); (2) vocabulary pruned to the top LM_VOCAB tokens
+    (count desc, token asc — deterministic), OOV → <unk>; (3) the
+    count maps broadcast once via ray.put; (4) scoring is a pure map.
+    Float NLL output → rows-only driver check; exact ground truth
+    (naive reimplementation, same numpy log) in
+    tests/test_ground_truth.py."""
+    from collections import Counter
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(_VOCAB_TOKEN.findall((t or "").lower()))
+        if not c:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        ks, vs = zip(*c.items())
+        return pa.table(
+            {"token": pa.array(ks, type=pa.string()),
+             "n": pa.array(vs, type=pa.int64())}
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    vocab = set(
+        uni.sort_values(["n", "token"], ascending=[False, True])
+        .head(LM_VOCAB)["token"]
+    )
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        u: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = [
+                w if w in vocab else "<unk>"
+                for w in _VOCAB_TOKEN.findall((t or "").lower())
+            ]
+            u.update(toks)
+            c.update(zip(toks, toks[1:]))
+        rows = [(w1, w2, n) for (w1, w2), n in c.items()]
+        rows += [(w, "", n) for w, n in u.items()]  # "" marks unigram rows
+        if not rows:
+            return pa.table(
+                {"w1": pa.array([], type=pa.string()),
+                 "w2": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        a, b, n = zip(*rows)
+        return pa.table(
+            {"w1": pa.array(a, type=pa.string()),
+             "w2": pa.array(b, type=pa.string()),
+             "n": pa.array(n, type=pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(big_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ distinct bigrams over the capped vocab
+    )
+    bi_map = {
+        (r.w1, r.w2): int(r.n) for r in counts.itertuples() if r.w2 != ""
+    }
+    uni_map = {r.w1: int(r.n) for r in counts.itertuples() if r.w2 == ""}
+    V = len(vocab) + 1  # +<unk>
+    model = ray.put((vocab, bi_map, uni_map, V))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_, bi_, uni_, V_ = ray.get(model)
+        ids, nbg, nll = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [
+                w if w in vocab_ else "<unk>"
+                for w in _VOCAB_TOKEN.findall((t or "").lower())
+            ]
+            pairs = list(zip(toks, toks[1:]))
+            ids.append(d)
+            nbg.append(len(pairs))
+            if not pairs:
+                nll.append(0.0)
+                continue
+            s = 0.0
+            for w1, w2 in pairs:
+                s -= float(
+                    np.log(
+                        (bi_.get((w1, w2), 0) + 1) / (uni_.get(w1, 0) + V_)
+                    )
+                )
+            nll.append(s / len(pairs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bigrams": pa.array(nbg, type=pa.int64()),
+                "nll": pa.array(nll, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- 9l
+WSAMPLE_K = 50
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (probability ∝ size flavor): each
+    doc gets an exact-integer priority ``H // w`` where H is the first
+    15 md5 hex digits of the text (60 bits, uniform) and w = n_chars —
+    heavier docs draw stochastically smaller priorities (the
+    integer-arithmetic analogue of the Efraimidis–Spirakis u^(1/w)
+    key, chosen so BOTH engines compare exact ints; float pow() keys
+    would risk last-ulp order flips across libms).  Selection = the
+    WSAMPLE_K smallest priorities.
+
+    Scale shape: priority is a pure map; the top-k is a per-block
+    partial head (≤ k rows per block) + tiny driver merge — no global
+    sort of the corpus."""
+    import hashlib
+
+    ds = _doc(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def prio(batch: pa.Table) -> pa.Table:
+        pr = [
+            int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+            // max(int(w), 1)
+            for t, w in zip(
+                batch["text"].to_pylist(), batch["n_chars"].to_pylist()
+            )
+        ]
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "priority": pa.array(pr, type=pa.int64()),
+            }
+        )
+        # per-block partial head: only k candidates leave each block
+        df = out.to_pandas().nsmallest(WSAMPLE_K, ["priority", "doc_id"])
+        return table_from_pandas(df)
+
+    cand = ds.map_batches(prio, batch_format="pyarrow").to_pandas()
+    return (
+        cand.nsmallest(WSAMPLE_K, ["priority", "doc_id"])
+        .sort_values(["priority", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------- 9k
+KMEANS_K = 8
+KMEANS_ITERS = 6
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed full-corpus Lloyd's k-means over the embeddings
+    table (stages.ann.kmeans_full: per-block k×dim partial sums →
+    driver reduce per iteration — mergeable-summaries, no shuffle;
+    iterative, so rows-only for the driver).  Returns per-cluster size
+    and within-cluster SSE; ground truth (naive single-node Lloyd's,
+    identical init) in tests/test_ground_truth.py."""
+    from crawler_ray.stages.ann import kmeans_full
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    _, _, assigned = kmeans_full(ds, dim, k=KMEANS_K, iters=KMEANS_ITERS)
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("cluster", as_index=False).agg(
+            n=("cluster", "size"), sse=("sq_dist", "sum")
+        )
+        return table_from_pandas(df)
+
+    out = (
+        assigned.map_batches(part, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("sse", alias_name="sse"))
+        .to_pandas()  # ≤ k rows
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------- 9j
+PRICE_BANDS = [
+    ("low", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 300_000.0),
+    ("premium", 300_000.0, None),
+]
+
+
+def q_order_price_bands(sf_dir: str):
+    """Banded (range-join) classification of orders by total price —
+    stages.joins.range_join_broadcast: the tiny interval table is
+    broadcast once, membership per batch is ONE vectorized
+    searchsorted (no shuffle, no cross product); then a grouped sum
+    over the 4 band labels.  Sums are integer cents (round-then-cast,
+    the repo's oracle-parity rule)."""
+    from crawler_ray.stages.joins import range_join_broadcast
+
+    bands = pa.table(
+        {
+            "label": pa.array([b[0] for b in PRICE_BANDS]),
+            "lo": pa.array([b[1] for b in PRICE_BANDS], type=pa.float64()),
+            "hi": pa.array([b[2] for b in PRICE_BANDS], type=pa.float64()),
+        }
+    )
+    ds = _read(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    banded = range_join_broadcast(
+        ds, "o_totalprice", bands, keep_cols=("label",)
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": batch["label"],
+                "cents": pa.array(
+                    np.round(v * 100).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        banded.map_batches(cents, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
 # ---------------------------------------------------------------- 10e
 ROLL_WINDOW = 3
 
@@ -2715,6 +3013,54 @@ ORACLE_SQL: dict[str, str] = {
         "FROM tf JOIN df USING (token)) "
         f"WHERE rn <= {TFIDF_TOPK}"
     ),
+    "repetition_signals": (
+        "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+') AS tl FROM documents), "
+        "base AS (SELECT doc_id, tl, CAST(COALESCE(list_sum("
+        "list_transform(tl, t -> length(t))), 0) AS BIGINT) AS total FROM tok), "
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tl)), "
+        "i -> tl[i] || ' ' || tl[i+1])) AS gram FROM base WHERE len(tl) >= 2), "
+        "c2 AS (SELECT doc_id, CAST(MAX(cnt * chars) AS BIGINT) AS num FROM ("
+        "SELECT doc_id, COUNT(*) AS cnt, length(gram) - 1 AS chars "
+        "FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id), "
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tl) - 1), "
+        "i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS gram "
+        "FROM base WHERE len(tl) >= 3), "
+        "c3 AS (SELECT doc_id, CAST(MAX(cnt * chars) AS BIGINT) AS num FROM ("
+        "SELECT doc_id, COUNT(*) AS cnt, length(gram) - 2 AS chars "
+        "FROM g3 GROUP BY doc_id, gram) GROUP BY doc_id), "
+        "g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(tl) - 3), "
+        "i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] || ' ' || tl[i+3] "
+        "|| ' ' || tl[i+4])) AS gram FROM base WHERE len(tl) >= 5), "
+        "c5 AS (SELECT doc_id, CAST(SUM(cnt * chars) AS BIGINT) AS num FROM ("
+        "SELECT doc_id, COUNT(*) AS cnt, length(gram) - 4 AS chars "
+        "FROM g5 GROUP BY doc_id, gram) WHERE cnt >= 2 GROUP BY doc_id) "
+        "SELECT b.doc_id, "
+        f"CASE WHEN b.total = 0 THEN 0 ELSE CAST(COALESCE(c2.num, 0) * {REP_MICRO} // b.total AS BIGINT) END AS top2_micro, "
+        f"CASE WHEN b.total = 0 THEN 0 ELSE CAST(COALESCE(c3.num, 0) * {REP_MICRO} // b.total AS BIGINT) END AS top3_micro, "
+        f"CASE WHEN b.total = 0 THEN 0 ELSE CAST(COALESCE(c5.num, 0) * {REP_MICRO} // b.total AS BIGINT) END AS dup5_micro "
+        "FROM base b LEFT JOIN c2 USING (doc_id) "
+        "LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)"
+    ),
+    "weighted_sample": (
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority "
+        "FROM (SELECT doc_id, n_chars, "
+        "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) "
+        "// GREATEST(CAST(n_chars AS BIGINT), 1) AS priority "
+        "FROM documents) "
+        f"ORDER BY priority, doc_id LIMIT {WSAMPLE_K}"
+    ),
+    "order_price_bands": (
+        "SELECT b.label AS band, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM orders o JOIN (VALUES "
+        + ", ".join(
+            "('%s', %s, %s)" % (l, lo, "NULL" if hi is None else hi)
+            for l, lo, hi in PRICE_BANDS
+        )
+        + ") b(label, lo, hi) ON o.o_totalprice >= b.lo "
+        "AND (b.hi IS NULL OR o.o_totalprice < b.hi) GROUP BY b.label"
+    ),
     "rolling_value_sum": (
         "SELECT event_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id "
@@ -2857,7 +3203,12 @@ QUERIES = {
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "doc_cume_dist": q_doc_cume_dist,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_signals": q_repetition_signals,
+    "order_price_bands": q_order_price_bands,
+    "weighted_sample": q_weighted_sample,
     # non-SQL-expressible (driver records rows-only checks)
+    "kmeans_clusters": q_kmeans_clusters,
+    "bigram_lm_score": q_bigram_lm_score,
     "dedup_clusters": q_dedup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "minhash_near_dups": q_minhash_near_dups,

@@ -165,3 +165,97 @@ def dequantize_matrix(codes_col, scales) -> np.ndarray:
     """codes (list<int8> column) × per-row scale → float32 matrix."""
     codes = np.stack([np.asarray(c, dtype=np.float32) for c in codes_col])
     return codes * np.asarray(scales, dtype=np.float32)[:, None]
+
+
+# ------------------------------------------------- distributed k-means
+def kmeans_full(
+    ds: Dataset,
+    dim: int,
+    k: int = 8,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple:
+    """Full-corpus Lloyd's k-means over the embedding column — the
+    distributed counterpart of :func:`train_centroids` (which trains on
+    a driver-side sample for IVF).  Every iteration is ONE streaming
+    pass: each block emits a fixed-size partial (k×dim float64 sum
+    matrix, k counts, block SSE) and the driver reduces k×dim — the
+    mergeable-summaries shape, nothing corpus-sized anywhere.
+
+    Init is the ``k`` vectors with the SMALLEST ``id_col`` values —
+    selected by a per-block partial bottom-k (≤ k rows leave each
+    block) + tiny driver merge, so the choice is deterministic under
+    ANY block arrival order (``ds.limit(k)`` is not: parallel read
+    tasks race for the limit).  Empty clusters keep their previous
+    centroid.  Returns ``(centroids, inertia_history, assigned_ds)``
+    where ``assigned_ds`` adds ``cluster`` and ``sq_dist`` columns in
+    a final map-only pass.
+    """
+    import pickle
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        idx = np.argsort(batch[id_col].to_numpy(zero_copy_only=False))[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(idx))
+
+    cand = ds.map_batches(bottom_k, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    cents = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in cand[:k]]
+    )
+    if cents.shape != (k, dim):
+        raise ValueError(f"init expected ({k},{dim}), got {cents.shape}")
+
+    history = []
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            C = ray.get(_ref)
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
+            )
+            d2 = (
+                (X * X).sum(1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sse = float(d2[np.arange(len(a)), a].sum())
+            blob = pickle.dumps((sums, counts, sse))
+            return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        sse = 0.0
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            s, c, e = pickle.loads(row["blob"])
+            sums += s
+            counts += c
+            sse += e
+        history.append(sse)
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]
+
+    final_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(final_ref)
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
+        )
+        d2 = (
+            (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        out = batch.append_column("cluster", pa.array(a.astype(np.int64)))
+        return out.append_column(
+            "sq_dist",
+            pa.array(d2[np.arange(len(a)), a], type=pa.float64()),
+        )
+
+    return cents, history, ds.map_batches(assign, batch_format="pyarrow")

@@ -440,3 +440,60 @@ def asof_join_groups(
         return table_from_pandas(merged)
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+# ------------------------------------------------------------- range join
+def range_join_broadcast(
+    ds: Dataset,
+    value_col: str,
+    intervals: pa.Table,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    keep_cols: tuple = ("label",),
+    unmatched: str = "drop",
+) -> Dataset:
+    """Range (band) join of a big dataset against a SMALL table of
+    non-overlapping, ascending intervals ``[lo, hi)`` — the broadcast
+    side of an interval join (price bands, latency buckets, date
+    ranges).  The reference has no joins at all; at 100 TB this is the
+    only sane shape for a banded classification: the interval table is
+    ``ray.put`` ONCE and every batch resolves membership with ONE
+    vectorized ``np.searchsorted`` over the sorted lower bounds — no
+    shuffle, no per-row loop, no cross product.
+
+    ``hi`` may be null/inf on the last interval (open-ended).
+    Intervals MUST be non-overlapping and sorted ascending by ``lo``
+    (validated once up front — raise, not silently misclassify).
+    ``unmatched='drop'`` filters rows outside every interval;
+    ``'keep'`` emits them with null band columns.
+    """
+    los = np.asarray(intervals[lo_col].to_pylist(), dtype=np.float64)
+    his = np.asarray(
+        [np.inf if v is None else v for v in intervals[hi_col].to_pylist()],
+        dtype=np.float64,
+    )
+    if not (np.all(np.diff(los) > 0) and np.all(his[:-1] <= los[1:]) and np.all(los < his)):
+        raise ValueError(
+            "range_join_broadcast requires non-overlapping ascending "
+            "[lo, hi) intervals sorted by lo"
+        )
+    keep = {c: intervals[c].to_pylist() for c in keep_cols}
+    ref = ray.put((los, his, keep))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        los_, his_, keep_ = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(los_, v, side="right") - 1
+        ok = (idx >= 0) & (v < his_[np.clip(idx, 0, len(his_) - 1)])
+        if unmatched == "drop":
+            batch = batch.filter(pa.array(ok))
+            idx = idx[ok]
+            ok = np.ones(len(idx), dtype=bool)
+        out = batch
+        for c, vals in keep_.items():
+            arr = np.array(vals, dtype=object)[np.clip(idx, 0, len(vals) - 1)]
+            arr[~ok] = None
+            out = out.append_column(c, pa.array(arr.tolist()))
+        return out
+
+    return ds.map_batches(classify, batch_format="pyarrow")

@@ -11,6 +11,7 @@ just not SQL-verified" — VERDICT r2 item 2.
 import itertools
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -495,3 +496,143 @@ def test_fingerprint_near_dups_ground_truth(ray_session, doc_texts):
     assert set(engine) == set(truth)
     for p, r in engine.items():
         assert r == pytest.approx(truth[p], abs=1e-12)
+
+
+def test_repetition_signals_dup_path_vs_sql_twin():
+    """The driver corpus never repeats a 5-gram (dup5_micro is 0 for
+    every sf doc), so the oracle gate alone cannot falsify the dup
+    path.  This fixture constructs documents WITH repeated passages
+    and checks the shared kernel against the very same DuckDB SQL the
+    driver runs — exact integer equality on all three signals."""
+    import duckdb
+
+    from crawler_ray.functions.textstats import repetition_signals_micro
+    from crawler_ray.pipelines.queries import ORACLE_SQL
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the cat sat on the mat the cat sat on the mat extra words",
+                "aa bb cc dd ee aa bb cc dd ee aa bb cc dd ee",  # heavy dup5
+                "unique words only never repeated anywhere at all today",
+                "",  # empty -> all zeros
+                "one two",  # shorter than 5 tokens -> dup5 = 0
+                "x y x y x y x y x y x y",  # top2 dominates
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=2")
+    con.register("documents", docs)
+    got = (
+        con.execute(ORACLE_SQL["repetition_signals"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        [
+            (d, *repetition_signals_micro(t))
+            for d, t in zip(docs.doc_id, docs.text)
+        ],
+        columns=["doc_id", "top2_micro", "top3_micro", "dup5_micro"],
+    )
+    assert (got.dup5_micro > 0).sum() >= 2, "fixture must exercise dup5"
+    for c in exp.columns:
+        assert (got[c].astype(np.int64) == exp[c].astype(np.int64)).all(), c
+
+
+def test_kmeans_full_ground_truth(ray_session):
+    """Distributed Lloyd's (per-block partial sums, driver reduce) vs a
+    naive single-node reimplementation with the identical init (the k
+    smallest vec_ids) and iteration count: same per-iteration inertia
+    (to fp-sum reassociation), same final assignments, and the engine's
+    per-cluster (n, sse) table matches the naive one exactly on sizes."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        q_kmeans_clusters,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )[order]
+    k = KMEANS_K
+    C = X[:k].copy()
+    hist = []
+    for _ in range(KMEANS_ITERS):
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        hist.append(float(d2[np.arange(len(a)), a].sum()))
+        for c in range(k):
+            m = X[a == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    a_final = np.argmin(d2, axis=1)
+    naive = (
+        pd.DataFrame({"cluster": a_final, "sq_dist": d2[np.arange(len(a_final)), a_final]})
+        .groupby("cluster", as_index=False)
+        .agg(n=("cluster", "size"), sse=("sq_dist", "sum"))
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+
+    got = q_kmeans_clusters(SF)
+    assert len(got) == len(naive)
+    assert (got["cluster"].to_numpy() == naive["cluster"].to_numpy()).all()
+    assert (got["n"].to_numpy() == naive["n"].to_numpy()).all()
+    np.testing.assert_allclose(got["sse"].to_numpy(), naive["sse"].to_numpy(), rtol=1e-9)
+    # inertia decreases monotonically (Lloyd's invariant)
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+
+
+def test_bigram_lm_score_ground_truth(ray_session, doc_texts):
+    """Engine LM scores vs a naive full-corpus reimplementation of the
+    same add-one bigram model (same vocab prune rule, same np.log):
+    per-doc NLL equal to 1e-12 and the fluency ordering sane (a
+    constructed in-vocab doc scores below a gibberish one)."""
+    import re as _re
+    from collections import Counter
+
+    from crawler_ray.pipelines.queries import LM_VOCAB, q_bigram_lm_score
+
+    TOK = _re.compile(r"[a-z0-9_]+")
+    uni_raw = Counter()
+    for t in doc_texts.values():
+        uni_raw.update(TOK.findall((t or "").lower()))
+    vocab = set(
+        pd.DataFrame(uni_raw.items(), columns=["token", "n"])
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(LM_VOCAB)["token"]
+    )
+    bi, uni = Counter(), Counter()
+    toks_by_doc = {}
+    for d, t in doc_texts.items():
+        toks = [w if w in vocab else "<unk>" for w in TOK.findall((t or "").lower())]
+        toks_by_doc[d] = toks
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    V = len(vocab) + 1
+    expect = {}
+    for d, toks in toks_by_doc.items():
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            expect[d] = (0, 0.0)
+            continue
+        s = 0.0
+        for w1, w2 in pairs:
+            s -= float(np.log((bi.get((w1, w2), 0) + 1) / (uni.get(w1, 0) + V)))
+        expect[d] = (len(pairs), s / len(pairs))
+
+    got = q_bigram_lm_score(SF).to_pandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples(index=False):
+        nb, nll = expect[int(r.doc_id)]
+        assert int(r.n_bigrams) == nb
+        assert abs(r.nll - nll) < 1e-12, (r.doc_id, r.nll, nll)
