@@ -1710,6 +1710,267 @@ def q_repetition_signals(sf_dir: str):
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- 9n
+CHUNK_LEN = 400
+CHUNK_STRIDE = 300  # overlap = CHUNK_LEN - CHUNK_STRIDE = 100 chars
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window document chunking for training (length 400,
+    stride 300 → 100-char overlap): the flat-map explode every LLM
+    data pipeline runs before tokenization/packing.  Pure map — each
+    batch emits its own chunks, no shuffle; chunk boundaries are
+    character offsets so the DuckDB substr() twin is exact.  Empty
+    docs emit no chunks; a doc's last chunk may be shorter."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, cis, chunks = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = t or ""
+            n = len(t)
+            for ci in range((n + CHUNK_STRIDE - 1) // CHUNK_STRIDE):
+                start = ci * CHUNK_STRIDE
+                if start >= n:
+                    break
+                ids.append(d)
+                cis.append(ci)
+                chunks.append(t[start : start + CHUNK_LEN])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(cis, type=pa.int64()),
+                "chunk_len": pa.array(
+                    [len(c) for c in chunks], type=pa.int64()
+                ),
+                "chunk_text": pa.array(chunks, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- 9o
+SHUFFLE_EPOCH = "epoch1"
+SHUFFLE_BUCKETS = 64
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic global training-epoch shuffle: every doc gets the
+    position of its ``md5(epoch:doc_id)`` digest in the sorted digest
+    order — reproducible across runs/engines, reshuffled by changing
+    the epoch string.  Scale shape is the two-pass histogram rank (no
+    global sort): pass 1 counts docs per 64 digest-prefix buckets
+    (driver state = 64 ints → cumulative offsets); pass 2 co-locates
+    by bucket and sorts WITHIN each bucket only, so global rank =
+    bucket offset + within-bucket position and the largest pandas
+    group is one digest-prefix bucket."""
+    import hashlib
+
+    ds = _doc(sf_dir, ["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        hx = [
+            hashlib.md5(f"{SHUFFLE_EPOCH}:{d}".encode()).hexdigest()
+            for d in batch["doc_id"].to_pylist()
+        ]
+        # order-preserving prefix bucket (NOT mod — mod interleaves
+        # digest ranges and would break offset+within-bucket ranking)
+        bucket = [int(h[:2], 16) // (256 // SHUFFLE_BUCKETS) for h in hx]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "hx": pa.array(hx, type=pa.string()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["bucket"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(vals, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        keyed.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ SHUFFLE_BUCKETS rows
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    offsets = dict(
+        zip(hist["bucket"], hist["n"].cumsum().shift(fill_value=0).astype(np.int64))
+    )
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["hx", "doc_id"]).reset_index(drop=True)
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+                "pos": pa.array(
+                    base + np.arange(1, len(g) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- 9p
+CURATE_QUALITY_MIN = 0.3
+CURATE_JACCARD = 0.6
+CURATE_BIN_TOKENS = 256
+
+
+def q_training_pipeline(sf_dir: str):
+    """End-to-end training-data curation flagship — the composition a
+    100-TB corpus actually runs, every stage a documented scale shape:
+
+    quality filter (pure map, content_quality ≥ 0.3)
+      → exact dedup (first-seen per content hash, grouped)
+      → near-dup removal (MinHash-LSH → verified Jaccard ≥ 0.6 →
+        connected components → keep each cluster's min doc_id; the
+        drop set leaves via a bucketed ANTI-join, never a broadcast
+        of O(duplicates) driver state)
+      → sliding-window chunking (400/300, flat-map)
+      → whitespace token counts (vectorized)
+      → FFD sequence packing into 256-token bins, per FIXED hash
+        partition (per-block packing would follow run-varying block
+        boundaries and break manifest determinism).
+
+    Returns the packed-bin manifest (bin_id, n_docs, total_tokens,
+    has_oversized).  Iterative CC inside → rows-only for the driver;
+    integrity invariants (each chunk in exactly one bin, no surviving
+    exact/near dups, budget respected, deterministic repeat) in
+    tests/test_ground_truth.py."""
+    from crawler_ray.functions.textstats import token_count_batch
+    from crawler_ray.stages.dedup import (
+        connected_components,
+        exact_dedup_first,
+        minhash_candidate_pairs,
+        verify_jaccard_joined,
+    )
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def quality_filter(batch: pa.Table) -> pa.Table:
+        keep = [
+            content_quality(t or "") >= CURATE_QUALITY_MIN
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
+
+    clean = ds.map_batches(quality_filter, batch_format="pyarrow")
+    unique = exact_dedup_first(clean).select_columns(["doc_id", "text"])
+
+    pairs = minhash_candidate_pairs(unique, num_perm=64, num_bands=16)
+    verified = verify_jaccard_joined(pairs, unique, threshold=CURATE_JACCARD)
+    labels = connected_components(verified)
+
+    # per-label min is computable inside one group — each near-dup
+    # cluster's non-canonical members become the drop set:
+    drops = (
+        labels.groupby("label")
+        .map_groups(
+            lambda g: table_from_pandas(
+                g.loc[g["node"] != g["node"].min(), ["node"]].rename(
+                    columns={"node": "doc_id"}
+                )
+            ),
+            batch_format="pandas",
+        )
+    )
+    survivors = bucketed_filter_join(
+        unique,
+        drops,
+        key="doc_id",
+        mode="anti",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids, cis, texts = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = t or ""
+            n = len(t)
+            for ci in range((n + CHUNK_STRIDE - 1) // CHUNK_STRIDE):
+                start = ci * CHUNK_STRIDE
+                if start >= n:
+                    break
+                ids.append(d)
+                cis.append(ci)
+                texts.append(t[start : start + CHUNK_LEN])
+        toks = token_count_batch(texts)
+        return pa.table(
+            {
+                # chunk key: doc_id * 1000 + idx (chunks/doc « 1000)
+                "chunk_id": pa.array(
+                    [d * 1000 + c for d, c in zip(ids, cis)], type=pa.int64()
+                ),
+                "n_tokens": pa.array(toks, type=pa.int64()),
+            }
+        )
+
+    # pack within FIXED hash partitions (not raw blocks): block
+    # boundaries vary run-to-run with parallelism, so per-block packing
+    # would make the manifest nondeterministic — per-partition packing
+    # is bit-stable AND keeps bins co-located at any scale
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            batch["chunk_id"].to_numpy(zero_copy_only=False) // 1000
+        ) % 32
+        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
+
+    from crawler_ray.stages.packing import ffd_pack
+
+    def pack_partition(g: pd.DataFrame) -> pa.Table:
+        pk = int(g["pkey"].iloc[0])
+        bins = ffd_pack(
+            g["chunk_id"].to_numpy(), g["n_tokens"].to_numpy(), CURATE_BIN_TOKENS
+        )
+        return pa.table(
+            {
+                "bin_id": pa.array(
+                    [f"{pk}:{i}" for i in range(len(bins))], type=pa.string()
+                ),
+                "doc_ids": pa.array(
+                    [[int(x) for x in b["ids"]] for b in bins],
+                    type=pa.list_(pa.int64()),
+                ),
+                "n_docs": pa.array([len(b["ids"]) for b in bins], type=pa.int64()),
+                "total_tokens": pa.array(
+                    [b["total"] for b in bins], type=pa.int64()
+                ),
+                "has_oversized": pa.array(
+                    [bool(b.get("oversized", False)) for b in bins],
+                    type=pa.bool_(),
+                ),
+            }
+        )
+
+    bins = (
+        survivors.map_batches(chunk, batch_format="pyarrow")
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(pack_partition, batch_format="pandas")
+    )
+    return (
+        bins.to_pandas()
+        .sort_values("bin_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------- 9m
 LM_VOCAB = 4096
 
@@ -3042,6 +3303,19 @@ ORACLE_SQL: dict[str, str] = {
         "FROM base b LEFT JOIN c2 USING (doc_id) "
         "LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)"
     ),
+    "doc_chunks": (
+        "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+        f"CAST(length(substr(text, ci * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS BIGINT) AS chunk_len, "
+        f"substr(text, ci * {CHUNK_STRIDE} + 1, {CHUNK_LEN}) AS chunk_text "
+        "FROM (SELECT doc_id, text, unnest(range(0, "
+        f"(length(text) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS ci "
+        "FROM documents)"
+    ),
+    "epoch_shuffle": (
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+        f"md5(concat('{SHUFFLE_EPOCH}:', doc_id)), doc_id) AS BIGINT) AS pos "
+        "FROM documents"
+    ),
     "weighted_sample": (
         "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority "
         "FROM (SELECT doc_id, n_chars, "
@@ -3206,9 +3480,12 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "order_price_bands": q_order_price_bands,
     "weighted_sample": q_weighted_sample,
+    "doc_chunks": q_doc_chunks,
+    "epoch_shuffle": q_epoch_shuffle,
     # non-SQL-expressible (driver records rows-only checks)
     "kmeans_clusters": q_kmeans_clusters,
     "bigram_lm_score": q_bigram_lm_score,
+    "training_pipeline": q_training_pipeline,
     "dedup_clusters": q_dedup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "minhash_near_dups": q_minhash_near_dups,

@@ -23,6 +23,30 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def ffd_pack(ids, lens, bin_budget: int) -> list[dict]:
+    """First-fit-DECREASING fold shared by the per-block and
+    per-partition packers: sort by (len desc, id) — deterministic and
+    within 11/9·OPT + 1 bins of optimal.  A doc longer than the budget
+    still gets its own bin, marked oversized — truncation is the
+    caller's policy decision."""
+    ids = np.asarray(ids)
+    lens = np.asarray(lens, dtype=np.int64)
+    order = np.lexsort((ids, -lens))
+    bins: list[dict] = []
+    for i in order:
+        d, ln = ids[i], int(lens[i])
+        placed = False
+        for b in bins:
+            if b["total"] + ln <= bin_budget:
+                b["ids"].append(d)
+                b["total"] += ln
+                placed = True
+                break
+        if not placed:
+            bins.append({"ids": [d], "total": ln, "oversized": ln > bin_budget})
+    return bins
+
+
 def pack_sequences(
     ds: Dataset,
     id_col: str = "doc_id",
@@ -32,31 +56,16 @@ def pack_sequences(
     """One output row per bin: ``(bin_id, doc_ids, n_docs,
     total_tokens, has_oversized)``.  ``bin_id`` is
     ``"<smallest doc id in block>:<index>"`` — unique across blocks
-    because a doc lives in exactly one block."""
+    because a doc lives in exactly one block.  NOTE bins depend on the
+    engine's block boundaries: parallel packing is deterministic given
+    blocks but NOT across differing block layouts — callers that need
+    run-to-run identical manifests should co-locate docs into FIXED
+    hash partitions first (see pipelines.queries.q_training_pipeline)
+    and pack per partition."""
 
     def pack(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist())
-        lens = np.asarray(batch[len_col].to_pylist(), dtype=np.int64)
-        # first-fit-DECREASING: sort by (len desc, id) — deterministic
-        # and within 11/9·OPT + 1 bins of optimal
-        order = np.lexsort((ids, -lens))
-        bins: list[dict] = []
-        for i in order:
-            d, ln = ids[i], int(lens[i])
-            placed = False
-            for b in bins:
-                if b["total"] + ln <= bin_budget:
-                    b["ids"].append(d)
-                    b["total"] += ln
-                    placed = True
-                    break
-            if not placed:
-                # a doc longer than the budget still gets its own bin,
-                # marked — truncation is the caller's policy decision
-                bins.append(
-                    {"ids": [d], "total": ln, "oversized": ln > bin_budget}
-                )
-                continue
+        bins = ffd_pack(ids, batch[len_col].to_pylist(), bin_budget)
         anchor = ids.min() if len(ids) else 0
         return pa.table(
             {

@@ -636,3 +636,77 @@ def test_bigram_lm_score_ground_truth(ray_session, doc_texts):
         nb, nll = expect[int(r.doc_id)]
         assert int(r.n_bigrams) == nb
         assert abs(r.nll - nll) < 1e-12, (r.doc_id, r.nll, nll)
+
+
+def test_training_pipeline_integrity(ray_session, doc_texts, true_jaccard_pairs):
+    """Invariants of the curation flagship (q_training_pipeline) that
+    a naive reimplementation can check without replicating LSH recall:
+
+    - deterministic: two runs produce identical manifests;
+    - bins: n_docs == len(doc_ids); total_tokens == recomputed chunk
+      token sums; budget respected unless has_oversized;
+    - coverage: the flattened chunk ids exactly partition the chunks
+      of the surviving docs (each chunk in exactly one bin);
+    - survivors: all pass the quality gate, no two share a text, and
+      every dropped doc is accounted for — low quality, exact dup of
+      a smaller-id doc, or true-Jaccard ≥ 0.6 near-dup of some doc."""
+    import hashlib as _hl
+
+    from crawler_ray.functions.textops import content_quality
+    from crawler_ray.functions.textstats import whitespace_token_count
+    from crawler_ray.pipelines.queries import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        CURATE_BIN_TOKENS,
+        CURATE_QUALITY_MIN,
+        q_training_pipeline,
+    )
+
+    m1 = q_training_pipeline(SF)
+    m2 = q_training_pipeline(SF)
+    pd.testing.assert_frame_equal(m1, m2)
+
+    chunk_ids = [c for ids in m1["doc_ids"] for c in ids]
+    assert len(chunk_ids) == len(set(chunk_ids)), "chunk packed twice"
+    assert (m1["n_docs"] == m1["doc_ids"].map(len)).all()
+
+    survivors = sorted({c // 1000 for c in chunk_ids})
+    # reconstruct each survivor's chunks + token counts
+    expect_chunks = {}
+    for d in survivors:
+        t = doc_texts[d] or ""
+        for ci in range((len(t) + CHUNK_STRIDE - 1) // CHUNK_STRIDE):
+            s = ci * CHUNK_STRIDE
+            if s >= len(t):
+                break
+            expect_chunks[d * 1000 + ci] = whitespace_token_count(
+                t[s : s + CHUNK_LEN]
+            )
+    assert set(chunk_ids) == set(expect_chunks), "chunks don't partition"
+    for r in m1.itertuples(index=False):
+        total = sum(expect_chunks[c] for c in r.doc_ids)
+        assert total == r.total_tokens
+        assert r.total_tokens <= CURATE_BIN_TOKENS or r.has_oversized
+
+    surv_set = set(survivors)
+    texts = {d: doc_texts[d] or "" for d in doc_texts}
+    assert all(content_quality(texts[d]) >= CURATE_QUALITY_MIN for d in surv_set)
+    hashes = [_hl.md5(texts[d].encode()).hexdigest() for d in survivors]
+    assert len(hashes) == len(set(hashes)), "exact dup survived"
+
+    near = {a for a, _ in true_jaccard_pairs} | {b for _, b in true_jaccard_pairs}
+    first_by_hash = {}
+    for d in sorted(texts):
+        h = _hl.md5(texts[d].encode()).hexdigest()
+        first_by_hash.setdefault(h, d)
+    for d in sorted(texts):
+        if d in surv_set:
+            continue
+        ok = (
+            content_quality(texts[d]) < CURATE_QUALITY_MIN
+            or first_by_hash[_hl.md5(texts[d].encode()).hexdigest()] != d
+            or d in near
+        )
+        assert ok, f"doc {d} dropped without a reason"
+    assert surv_set, "pipeline must keep something"
+    assert len(surv_set) < len(texts), "pipeline must drop something"

@@ -377,3 +377,46 @@ def test_bloom_filter_join_matches_exact(ray_session):
             capacity_hint=64, left_schema=schema,
         ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
         assert exact.equals(fast), f"bloom {mode} path diverges from exact"
+
+
+def test_range_join_broadcast(ray_session):
+    from crawler_ray.stages.joins import range_join_broadcast
+
+    bands = pa.table(
+        {
+            "label": ["a", "b", "c"],
+            "lo": pa.array([0.0, 10.0, 20.0], type=pa.float64()),
+            "hi": pa.array([10.0, 20.0, None], type=pa.float64()),
+        }
+    )
+    vals = [-5.0, 0.0, 9.999, 10.0, 19.5, 20.0, 1e9]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.float64())})).repartition(3)
+
+    got = (
+        range_join_broadcast(ds, "v", bands)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    # -5 dropped; boundaries are [lo, hi); open-ended last band
+    assert got["v"].tolist() == [0.0, 9.999, 10.0, 19.5, 20.0, 1e9]
+    assert got["label"].tolist() == ["a", "a", "b", "b", "c", "c"]
+
+    kept = (
+        range_join_broadcast(ds, "v", bands, unmatched="keep")
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert len(kept) == len(vals)
+    assert kept.loc[kept["v"] == -5.0, "label"].isna().all()
+
+    overlapping = pa.table(
+        {
+            "label": ["a", "b"],
+            "lo": pa.array([0.0, 5.0], type=pa.float64()),
+            "hi": pa.array([10.0, 20.0], type=pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError, match="non-overlapping"):
+        range_join_broadcast(ds, "v", overlapping)
