@@ -254,58 +254,67 @@ def run_scaling() -> None:
     # capability rather than the tail of the previous leg's load
     cooldown = int(os.environ.get("BENCH_SCALING_COOLDOWN_S", "45"))
 
-    def run_at(ncpu: int) -> dict:
+    def one_run(ncpu: int) -> float:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
-        best = None
-        probes = []
-        probes_mt = []
-        time.sleep(cooldown)
-        for rep in range(repeats):
-            if rep:
-                # inter-repeat cool-down: back-to-back crawl runs leave
-                # the host in the spawn/IPC-depressed mode for tens of
-                # seconds (round-3 finding: the spawn-heavy crawl is the
-                # last workload to recover), so consecutive repeats
-                # under-report the level's capability
-                time.sleep(int(os.environ.get("BENCH_SCALING_REPEAT_COOLDOWN_S", "25")))
-            probes.append(host_probe())
-            probes_mt.append(host_probe_mt())
-            proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or r["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
-                best = r
-        best["host_probe_s"] = probes
-        best["host_probe_mt_s"] = probes_mt
-        return best
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        return float(r["crawl_urls_per_sec"])
 
+    # PAIRED interleaved legs (round-4 methodology fix): all four
+    # round-4 certs under the level-at-a-time scheme showed leg-level
+    # host noise larger than the quantity being measured — the two
+    # levels ran ~10 minutes apart and sampled DIFFERENT host regimes
+    # (one cert's 4-CPU leg ran 8% above its 20-sample historical
+    # envelope while another cert's 16-CPU leg ran 20% below its own;
+    # the implied "efficiency" spread 0.715–0.950 for a fixed engine).
+    # Running lo then hi back-to-back inside each repeat gives each
+    # PAIR a common host regime, so the per-pair ratio cancels the
+    # regime term the way a paired test cancels subject variance.  The
+    # reported efficiency is the MEDIAN of the per-repeat paired
+    # ratios; per-level bests are kept for cross-round continuity.
+    repeat_cd = int(os.environ.get("BENCH_SCALING_REPEAT_COOLDOWN_S", "25"))
     out = {
         "metric": "crawl throughput scaling (N vs 4N cpus, fresh sessions, "
-        f"best of {repeats} per level)",
+        f"{repeats} interleaved lo/hi pairs per level-pair; efficiency = "
+        "median of per-pair ratios)",
         "pairs": [],
     }
     for lo, hi in ((4, 16), (8, 32)):
-        r_lo, r_hi = run_at(lo), run_at(hi)
-        thr_lo = r_lo["crawl_urls_per_sec"]
-        thr_hi = r_hi["crawl_urls_per_sec"]
+        time.sleep(cooldown)
+        ratios, thr_lo, thr_hi, probes, probes_mt = [], [], [], [], []
+        for rep in range(repeats):
+            if rep:
+                # spawn/IPC recovery between repeats (round-3 finding:
+                # the spawn-heavy crawl is the last workload to recover
+                # from back-to-back load)
+                time.sleep(repeat_cd)
+            probes.append(host_probe())
+            probes_mt.append(host_probe_mt())
+            a = one_run(lo)
+            time.sleep(repeat_cd)
+            b = one_run(hi)
+            thr_lo.append(a)
+            thr_hi.append(b)
+            ratios.append((b / a) / (hi / lo))
+        med = sorted(ratios)[len(ratios) // 2]
         out["pairs"].append(
             {
                 "num_cpus_lo": lo,
                 "num_cpus_hi": hi,
-                "urls_per_sec_lo": thr_lo,
-                "urls_per_sec_hi": thr_hi,
-                "sec_lo": r_lo["queries"]["crawl"],
-                "sec_hi": r_hi["queries"]["crawl"],
-                "host_probe_s_lo": r_lo["host_probe_s"],
-                "host_probe_s_hi": r_hi["host_probe_s"],
-                "host_probe_mt_s_lo": r_lo["host_probe_mt_s"],
-                "host_probe_mt_s_hi": r_hi["host_probe_mt_s"],
-                "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+                "urls_per_sec_lo": max(thr_lo),
+                "urls_per_sec_hi": max(thr_hi),
+                "urls_per_sec_lo_all": [round(x, 1) for x in thr_lo],
+                "urls_per_sec_hi_all": [round(x, 1) for x in thr_hi],
+                "paired_ratios": [round(x, 3) for x in ratios],
+                "host_probe_s": probes,
+                "host_probe_mt_s": probes_mt,
+                "scaling_efficiency": round(med, 3),
             }
         )
     out["scaling_efficiency"] = out["pairs"][0]["scaling_efficiency"]
