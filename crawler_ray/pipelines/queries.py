@@ -1971,6 +1971,68 @@ def q_training_pipeline(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- 9q
+DECON_N = 8
+DECON_EVAL_MOD = 7
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 App. C / Gopher-style n-gram
+    overlap — public method): flag every training doc sharing at least
+    one word 8-gram with the held-out eval set (here: doc_id % 7 == 0,
+    a deterministic stand-in benchmark).  Output = contaminated doc →
+    count of DISTINCT shared 8-grams, both exact ints.
+
+    Scale shape: the eval side is small by definition (benchmarks are
+    KBs, the corpus is TBs) — its distinct-gram set is built once
+    (tiny filtered read + per-batch distinct) and broadcast via
+    ``ray.put``; the corpus pass is a pure map (per-doc distinct grams
+    ∩ broadcast set), no shuffle, no corpus-sized anything."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def doc_grams(text: str) -> set:
+        toks = _VOCAB_TOKEN.findall((text or "").lower())
+        return {
+            " ".join(toks[i : i + DECON_N])
+            for i in range(len(toks) - DECON_N + 1)
+        }
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        # eval-side filter inline (Ray's filter expr has no modulo op)
+        mod = batch["doc_id"].to_numpy(zero_copy_only=False) % DECON_EVAL_MOD
+        batch = batch.filter(pa.array(mod == 0))
+        grams = set()
+        for t in batch["text"].to_pylist():
+            grams |= doc_grams(t)
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    eval_ds = ds
+
+    eval_grams = set()
+    for row in eval_ds.map_batches(gram_rows, batch_format="pyarrow").take_all():
+        eval_grams.add(row["gram"])
+    ref = ray.put(eval_grams)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        ids, ns = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if d % DECON_EVAL_MOD == 0:
+                continue
+            shared = len(doc_grams(t) & ev)
+            if shared:
+                ids.append(d)
+                ns.append(shared)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_shared": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- 9m
 LM_VOCAB = 4096
 
@@ -3303,6 +3365,20 @@ ORACLE_SQL: dict[str, str] = {
         "FROM base b LEFT JOIN c2 USING (doc_id) "
         "LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)"
     ),
+    "decontaminate": (
+        "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+') AS tl FROM documents), "
+        f"g AS (SELECT doc_id, unnest(list_transform(range(1, len(tl) - {DECON_N - 2}), "
+        "i -> "
+        + " || ' ' || ".join(
+            ("tl[i]" if j == 0 else f"tl[i+{j}]") for j in range(DECON_N)
+        )
+        + f")) AS gram FROM tok WHERE len(tl) >= {DECON_N}), "
+        f"ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0), "
+        f"dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % {DECON_EVAL_MOD} != 0) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM dg JOIN ev USING (gram) GROUP BY doc_id"
+    ),
     "doc_chunks": (
         "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
         f"CAST(length(substr(text, ci * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS BIGINT) AS chunk_len, "
@@ -3482,6 +3558,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "doc_chunks": q_doc_chunks,
     "epoch_shuffle": q_epoch_shuffle,
+    "decontaminate": q_decontaminate,
     # non-SQL-expressible (driver records rows-only checks)
     "kmeans_clusters": q_kmeans_clusters,
     "bigram_lm_score": q_bigram_lm_score,
