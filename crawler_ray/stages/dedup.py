@@ -31,7 +31,6 @@ from ray.data.aggregate import Count, Min
 
 from crawler_ray.functions.hashing import (
     MinHasher,
-    content_md5,
     jaccard,
     shingle_hashes,
     simhash64,
