@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -302,7 +303,9 @@ def run_scaling() -> None:
             thr_lo.append(a)
             thr_hi.append(b)
             ratios.append((b / a) / (hi / lo))
-        med = sorted(ratios)[len(ratios) // 2]
+        # statistics.median averages the middle pair for even repeat
+        # counts; sorted(...)[n//2] is the UPPER median, biased upward
+        med = statistics.median(ratios)
         out["pairs"].append(
             {
                 "num_cpus_lo": lo,

@@ -1831,7 +1831,19 @@ CURATE_JACCARD = 0.6
 CURATE_BIN_TOKENS = 256
 
 
-def q_training_pipeline(sf_dir: str):
+# chunk key layout: doc_id << CHUNK_KEY_BITS | chunk_idx.  2^20 chunks
+# per doc (~300 MB of text at stride 300) and 2^43 doc ids both fit
+# int64; BOTH bounds are enforced with a raise — a silent collision
+# would merge two docs' chunks in the packed manifest.
+CHUNK_KEY_BITS = 20
+
+
+def chunk_key(doc_id: int, chunk_idx: int) -> int:
+    """The packed (doc, chunk) key used by the curation flagship."""
+    return (int(doc_id) << CHUNK_KEY_BITS) | int(chunk_idx)
+
+
+def training_pipeline(sf_dir: str):
     """End-to-end training-data curation flagship — the composition a
     100-TB corpus actually runs, every stage a documented scale shape:
 
@@ -1847,10 +1859,14 @@ def q_training_pipeline(sf_dir: str):
         partition (per-block packing would follow run-varying block
         boundaries and break manifest determinism).
 
-    Returns the packed-bin manifest (bin_id, n_docs, total_tokens,
-    has_oversized).  Iterative CC inside → rows-only for the driver;
-    integrity invariants (each chunk in exactly one bin, no surviving
-    exact/near dups, budget respected, deterministic repeat) in
+    Returns the packed-bin manifest as a DATASET (bin_id, n_docs,
+    total_tokens, has_oversized, doc_ids) — O(corpus-tokens/256) rows
+    at 100 TB, so the pipeline never collects it; callers stream it to
+    parquet or aggregate it.  The sf-scale driver contract's tiny
+    collect lives in the :func:`q_training_pipeline` wrapper only.
+    Iterative CC inside → rows-only for the driver; integrity
+    invariants (each chunk in exactly one bin, no surviving exact/near
+    dups, budget respected, deterministic repeat) in
     tests/test_ground_truth.py."""
     from crawler_ray.functions.textstats import token_count_batch
     from crawler_ray.stages.dedup import (
@@ -1903,7 +1919,21 @@ def q_training_pipeline(sf_dir: str):
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             t = t or ""
             n = len(t)
-            for ci in range((n + CHUNK_STRIDE - 1) // CHUNK_STRIDE):
+            n_chunks = (n + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+            # raise, never collide: a wrapped chunk_idx or an
+            # overflowed doc_id would silently merge two docs' chunks
+            if n_chunks >= (1 << CHUNK_KEY_BITS):
+                raise ValueError(
+                    f"doc {d}: {n_chunks} chunks >= 2^{CHUNK_KEY_BITS} — "
+                    "chunk key would collide with the next doc; split the "
+                    "doc upstream or widen CHUNK_KEY_BITS"
+                )
+            if not 0 <= d < (1 << (63 - CHUNK_KEY_BITS)):
+                raise ValueError(
+                    f"doc_id {d} outside [0, 2^{63 - CHUNK_KEY_BITS}) — "
+                    "chunk key would overflow int64"
+                )
+            for ci in range(n_chunks):
                 start = ci * CHUNK_STRIDE
                 if start >= n:
                     break
@@ -1913,9 +1943,8 @@ def q_training_pipeline(sf_dir: str):
         toks = token_count_batch(texts)
         return pa.table(
             {
-                # chunk key: doc_id * 1000 + idx (chunks/doc « 1000)
                 "chunk_id": pa.array(
-                    [d * 1000 + c for d, c in zip(ids, cis)], type=pa.int64()
+                    [chunk_key(d, c) for d, c in zip(ids, cis)], type=pa.int64()
                 ),
                 "n_tokens": pa.array(toks, type=pa.int64()),
             }
@@ -1927,7 +1956,7 @@ def q_training_pipeline(sf_dir: str):
     # is bit-stable AND keeps bins co-located at any scale
     def add_pkey(batch: pa.Table) -> pa.Table:
         pk = (
-            batch["chunk_id"].to_numpy(zero_copy_only=False) // 1000
+            batch["chunk_id"].to_numpy(zero_copy_only=False) >> CHUNK_KEY_BITS
         ) % 32
         return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
 
@@ -1958,14 +1987,23 @@ def q_training_pipeline(sf_dir: str):
             }
         )
 
-    bins = (
+    return (
         survivors.map_batches(chunk, batch_format="pyarrow")
         .map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(pack_partition, batch_format="pandas")
     )
+
+
+def q_training_pipeline(sf_dir: str):
+    """Driver-contract wrapper for :func:`training_pipeline`: collects
+    the bin manifest into pandas for the sf-scale rows-only check.
+    Bounded ONLY at test scale — at 100 TB the manifest is corpus-sized
+    and callers must consume the Dataset (write_parquet / aggregate),
+    which is why the collect lives here and not in the pipeline."""
     return (
-        bins.to_pandas()
+        training_pipeline(sf_dir)
+        .to_pandas()
         .sort_values("bin_id")
         .reset_index(drop=True)
     )
@@ -2788,10 +2826,24 @@ def q_salted_hot_key_agg(sf_dir: str):
 
 
 # -------------------------------------------- rows-only (non-SQL) ops
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Stable per-corpus location for the persisted IVF index (testdata
+    is read-only, so keying by realpath is safe)."""
+    import hashlib as _hl
+    import os
+
+    # n_cells is part of the key so a knob change never reuses a stale index
+    tag = _hl.md5(f"{os.path.realpath(sf_dir)}|cells=16".encode()).hexdigest()[:12]
+    return f"/tmp/crawler_ray_ivf/{tag}"
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN top-10 for the same query as q_ann_topk (n_cells=16,
-    nprobe=8 — the scale path pruning ~half the cells; seeded centroid
-    training keeps the result deterministic)."""
+    nprobe=8).  The index is PERSISTED cell-partitioned parquet built
+    once per corpus (build_ivf_index); this query loads it and reads
+    only the probed cells' partition dirs — repeat calls never rescan
+    or re-assign the corpus.  Seeded centroid training keeps the
+    result deterministic."""
     from crawler_ray.stages.ann import ivf_topk
 
     ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -2802,7 +2854,10 @@ def q_ann_ivf_topk(sf_dir: str):
         "embedding": [np.asarray(qrow["embedding"], dtype=np.float64)],
     }
     rest = ds.filter(expr=f"vec_id != {ANN_QUERY_ID}")
-    pdf = ivf_topk(rest, queries, dim=dim, k=ANN_K, n_cells=16, nprobe=8)
+    pdf = ivf_topk(
+        rest, queries, dim=dim, k=ANN_K, n_cells=16, nprobe=8,
+        index_dir=_ivf_index_dir(sf_dir),
+    )
     pdf = pdf.sort_values(["cosine", "vec_id"], ascending=[False, True]).reset_index(
         drop=True
     )

@@ -87,6 +87,14 @@ def brute_force_topk(
 
 
 # ------------------------------------------------------------------ IVF
+#
+# Scale path (round-5 fix): the index is PERSISTED once as
+# cell-partitioned parquet (hive ``cell=N`` dirs) + a centroids
+# sidecar, and queries read ONLY the probed cells' partition
+# directories — physical block pruning, not a row filter.  The
+# round-4 form re-assigned the whole corpus per call and pruned with
+# ``filter(expr=...)``, which still scans every block: at 100 TB that
+# made IVF no cheaper than brute force.
 def train_centroids(
     ds: Dataset, dim: int, n_cells: int = 16, sample: int = 2048,
     iters: int = 10, seed: int = 42, vec_col: str = "embedding",
@@ -107,6 +115,122 @@ def train_centroids(
     return cents
 
 
+class IvfIndex:
+    """A persisted IVF index: ``index_dir/cell=N/*.parquet`` partitions
+    (written once by :func:`build_ivf_index`) plus a tiny sidecar
+    (``centroids.npy`` + ``ivf_meta.json``).  Queries compute the
+    ``nprobe`` nearest centroids driver-side (n_cells × dim — tiny)
+    and ``read_parquet`` ONLY those cells' partition directories, so
+    the scan cost is corpus_size × nprobe / n_cells regardless of
+    query count — the pruning is physical (file list), not a filter.
+
+    ``last_probe_paths`` records the partition dirs the most recent
+    :meth:`topk` call actually read (asserted by tests — the pruning
+    claim is checkable, not a docstring)."""
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.last_probe_paths: list[str] = []
+
+    @property
+    def n_cells(self) -> int:
+        return self.centroids.shape[0]
+
+    def probe_cells(self, queries: dict, nprobe: int) -> list[int]:
+        qmat = _normalize(_as_matrix(queries["embedding"]))
+        top = np.argsort(-(qmat @ self.centroids.T), axis=1)[:, :nprobe]
+        return sorted({int(c) for row in top for c in row})
+
+    def cell_paths(self, cells) -> list[str]:
+        """Parquet FILES of the given cells' partitions (read_parquet
+        takes a list of files, not of directories); a trained cell can
+        be empty (no vectors assigned) → no dir, skipped."""
+        import glob
+        import os
+
+        files: list[str] = []
+        for c in cells:
+            d = os.path.join(self.index_dir, f"cell={c}")
+            if os.path.isdir(d):
+                files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return files
+
+    def topk(self, queries: dict, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        """Top-k over the probed cells only (same schema as
+        :func:`brute_force_topk`, so callers can swap)."""
+        paths = self.cell_paths(self.probe_cells(queries, nprobe))
+        self.last_probe_paths = paths
+        if not paths:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 self.id_col: pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        sub = ray.data.read_parquet(paths, columns=[self.id_col, self.vec_col])
+        return brute_force_topk(
+            sub, queries, k=k, vec_col=self.vec_col, id_col=self.id_col
+        )
+
+
+def build_ivf_index(
+    ds: Dataset,
+    index_dir: str,
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Train centroids on a seeded sample, assign every vector to its
+    cell in one map pass, and write the corpus CELL-PARTITIONED
+    (``write_parquet(partition_cols=["cell"])`` → hive dirs) with the
+    centroids in a sidecar.  Run ONCE per corpus; every subsequent
+    query batch prunes to nprobe/n_cells of the files.  Lance would be
+    the north-rule storage here; parquet is the gated stand-in
+    (sources/io.py:96)."""
+    import json
+    import os
+
+    cents = train_centroids(
+        ds, dim=0, n_cells=n_cells, sample=sample, iters=iters,
+        seed=seed, vec_col=vec_col,
+    )
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        mat = _normalize(_as_matrix(batch[vec_col].to_pylist()))
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        batch = batch.replace_schema_metadata(None)  # keep schemas hashable
+        return batch.append_column("cell", pa.array(cell, type=pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+        json.dump({"n_cells": int(cents.shape[0]), "vec_col": vec_col,
+                   "id_col": id_col}, f)
+    return IvfIndex(index_dir, cents, vec_col=vec_col, id_col=id_col)
+
+
+def load_ivf_index(index_dir: str) -> IvfIndex:
+    import json
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    return IvfIndex(index_dir, cents, vec_col=meta["vec_col"],
+                    id_col=meta["id_col"])
+
+
 def ivf_topk(
     ds: Dataset,
     queries: dict,
@@ -116,26 +240,25 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
-    """IVF ANN: assign vectors to cells once, search only the nprobe
-    closest cells per query."""
-    cents = train_centroids(ds, dim, n_cells=n_cells, vec_col=vec_col)
-    cents_ref = ray.put(cents)
+    """IVF ANN via the persisted index: build (or reuse) the
+    cell-partitioned index at ``index_dir``, then search only the
+    nprobe closest cells' partitions.  ``index_dir=None`` builds into
+    a fresh temp dir — fine for tests; real callers pass a stable dir
+    (build once, query many)."""
+    import os
+    import tempfile
 
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
-        mat = _normalize(_as_matrix(batch[vec_col].to_pylist()))
-        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
-        return batch.append_column("cell", pa.array(cell, type=pa.int64()))
-
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
-
-    qmat = _normalize(_as_matrix(queries["embedding"]))
-    probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
-    wanted = sorted({int(c) for row in probe_cells for c in row})
-    # prune: only blocks of probed cells are scanned
-    sub = assigned.filter(expr=f"cell in {wanted}")
-    return brute_force_topk(sub, queries, k=k, vec_col=vec_col, id_col=id_col)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_", dir="/tmp")
+    if os.path.exists(os.path.join(index_dir, "ivf_meta.json")):
+        idx = load_ivf_index(index_dir)
+    else:
+        idx = build_ivf_index(
+            ds, index_dir, n_cells=n_cells, vec_col=vec_col, id_col=id_col
+        )
+    return idx.topk(queries, k=k, nprobe=nprobe)
 
 
 # ------------------------------------------------- int8 quantization

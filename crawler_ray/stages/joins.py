@@ -89,6 +89,17 @@ def bucketed_hash_join(
     if how != "inner":
         raise ValueError(f"bucketed_hash_join supports how='inner' only, got {how!r}")
     if left_schema is not None and right_schema is not None:
+        # fail fast: a non-key column on BOTH sides would get pandas
+        # _x/_y suffixes from merge, so merged.select(out_schema.names)
+        # would raise KeyError deep inside map_groups — surface it here
+        shared = (set(left_schema.names) & set(right_schema.names)) - {key}
+        if shared:
+            raise ValueError(
+                f"bucketed_hash_join: columns {sorted(shared)} appear on "
+                f"both sides besides the join key {key!r}; rename or "
+                "project one side first (pandas merge would suffix them "
+                "_x/_y and break the declared output schema)"
+            )
         fields = list(left_schema) + [
             f for f in right_schema if f.name not in left_schema.names
         ]

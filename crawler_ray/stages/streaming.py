@@ -28,9 +28,16 @@ class SessionState:
     idle longer than the TTL are EVICTED from the open-session map,
     their totals folded into a per-user closed accumulator
     (emit-on-evict — never silently dropped).  Exactness: with
-    ``idle_ttl_s >= gap_s`` (enforced), any event from an evicted user
-    arrives more than ``gap_s`` after their last event, so it would
-    have opened a new session anyway — eviction changes no counts.
+    ``idle_ttl_s >= gap_s`` (enforced) and IN-ORDER arrival (the
+    module's documented ordering assumption), any event from an
+    evicted user arrives more than ``gap_s`` after their last event,
+    so it would have opened a new session anyway — eviction changes
+    no counts.  With OUT-OF-ORDER events across micro-batches that
+    guarantee fails: a late event whose ts is within ``gap_s`` of the
+    evicted user's last_ts opens a spurious extra session vs the
+    no-TTL actor.  Such re-opens are COUNTED in ``late_reopens``
+    (visible via :meth:`late_reopen_count`, the
+    ``TumblingWindowState.late_dropped`` discipline) — never silent.
     Open state is then bounded by the users ACTIVE within one TTL, not
     all users ever seen (the watermark discipline of
     :class:`TumblingWindowState` applied to sessions)."""
@@ -45,13 +52,24 @@ class SessionState:
         self.idle_ttl_s = idle_ttl_s
         # user_id -> {"last_ts": pd.Timestamp, "n_sessions": int, "n_events": int}
         self.state: dict = {}
-        # user_id -> {"n_sessions": int, "n_events": int} (evicted totals)
+        # user_id -> {"n_sessions": int, "n_events": int, "last_ts"} (evicted)
         self.closed: dict = {}
         self.max_ts = None
+        self.late_reopens = 0
 
     def ingest(self, df: pd.DataFrame) -> int:
         df = df.sort_values(["ts", "event_id"])
         for user, g in df.groupby("user_id"):
+            if user not in self.state and user in self.closed:
+                prev = self.closed[user].get("last_ts")
+                if (
+                    prev is not None
+                    and (g["ts"].iloc[0] - prev).total_seconds() <= self.gap_s
+                ):
+                    # out-of-order arrival after eviction: the no-TTL
+                    # actor would have merged this into the evicted
+                    # session — count the spurious re-open, don't hide it
+                    self.late_reopens += 1
             st = self.state.setdefault(
                 user, {"last_ts": None, "n_sessions": 0, "n_events": 0}
             )
@@ -72,16 +90,22 @@ class SessionState:
                 u for u, s in self.state.items() if s["last_ts"] < cutoff
             ]:
                 acc = self.closed.setdefault(
-                    user, {"n_sessions": 0, "n_events": 0}
+                    user, {"n_sessions": 0, "n_events": 0, "last_ts": None}
                 )
                 st = self.state.pop(user)
                 acc["n_sessions"] += st["n_sessions"]
                 acc["n_events"] += st["n_events"]
+                acc["last_ts"] = st["last_ts"]  # kept for late-reopen detection
         return len(df)
 
     def open_count(self) -> int:
         """Size of the open-session map (bounded by TTL-active users)."""
         return len(self.state)
+
+    def late_reopen_count(self) -> int:
+        """Sessions opened by out-of-order events arriving within gap_s
+        of an evicted user's last_ts — spurious vs the no-TTL actor."""
+        return self.late_reopens
 
     def snapshot(self) -> pd.DataFrame:
         merged: dict = {

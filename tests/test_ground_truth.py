@@ -655,10 +655,12 @@ def test_training_pipeline_integrity(ray_session, doc_texts, true_jaccard_pairs)
     from crawler_ray.functions.textops import content_quality
     from crawler_ray.functions.textstats import whitespace_token_count
     from crawler_ray.pipelines.queries import (
+        CHUNK_KEY_BITS,
         CHUNK_LEN,
         CHUNK_STRIDE,
         CURATE_BIN_TOKENS,
         CURATE_QUALITY_MIN,
+        chunk_key,
         q_training_pipeline,
     )
 
@@ -670,7 +672,7 @@ def test_training_pipeline_integrity(ray_session, doc_texts, true_jaccard_pairs)
     assert len(chunk_ids) == len(set(chunk_ids)), "chunk packed twice"
     assert (m1["n_docs"] == m1["doc_ids"].map(len)).all()
 
-    survivors = sorted({c // 1000 for c in chunk_ids})
+    survivors = sorted({c >> CHUNK_KEY_BITS for c in chunk_ids})
     # reconstruct each survivor's chunks + token counts
     expect_chunks = {}
     for d in survivors:
@@ -679,7 +681,7 @@ def test_training_pipeline_integrity(ray_session, doc_texts, true_jaccard_pairs)
             s = ci * CHUNK_STRIDE
             if s >= len(t):
                 break
-            expect_chunks[d * 1000 + ci] = whitespace_token_count(
+            expect_chunks[chunk_key(d, ci)] = whitespace_token_count(
                 t[s : s + CHUNK_LEN]
             )
     assert set(chunk_ids) == set(expect_chunks), "chunks don't partition"

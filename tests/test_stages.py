@@ -192,6 +192,61 @@ def test_brute_force_and_ivf_topk(ray_session):
     assert 3 in set(ivf["vec_id"])  # recall of the exact hit
 
 
+def test_ivf_index_prunes_to_probed_cells(ray_session, tmp_path):
+    """The round-5 scale fix: the persisted IVF index physically reads
+    ONLY the probed cells' partition directories — asserted on the
+    actual file list the query path used, and the reused index must
+    not be rebuilt on a second query."""
+    import os
+
+    from crawler_ray.stages.ann import build_ivf_index, load_ivf_index
+
+    rng = np.random.default_rng(1)
+    n, dim, n_cells, nprobe = 600, 16, 8, 3
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in mat], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    index_dir = str(tmp_path / "ivf")
+    idx = build_ivf_index(ds, index_dir, n_cells=n_cells)
+
+    cell_dirs = sorted(
+        d for d in os.listdir(index_dir) if d.startswith("cell=")
+    )
+    assert 2 <= len(cell_dirs) <= n_cells  # corpus actually partitioned
+
+    queries = {"query_id": [3], "embedding": [mat[3].astype(np.float64)]}
+    got = idx.topk(queries, k=5, nprobe=nprobe)
+    assert 3 in set(got["vec_id"])  # exact hit recalled
+
+    # file-list assertion: the query read at most nprobe partition dirs,
+    # strictly fewer than the corpus has — physical pruning, not a filter
+    read_dirs = {os.path.basename(os.path.dirname(p)) for p in idx.last_probe_paths}
+    assert len(read_dirs) <= nprobe < len(cell_dirs)
+    assert read_dirs <= set(cell_dirs)
+    # and those dirs cover strictly fewer rows than the corpus
+    import pyarrow.parquet as pq
+
+    n_read = sum(
+        pq.read_table(os.path.join(index_dir, d)).num_rows for d in read_dirs
+    )
+    assert n_read < n
+
+    # reload path: a second process loads the sidecar, never rebuilds
+    idx2 = load_ivf_index(index_dir)
+    got2 = idx2.topk(queries, k=5, nprobe=nprobe)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got2.reset_index(drop=True)
+    )
+
+
 def test_multimodal_plumbing(ray_session):
     from crawler_ray.stages.multimodal import (
         audio_features,
