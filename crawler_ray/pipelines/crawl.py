@@ -105,6 +105,7 @@ class CrawlEngine:
         bloom_capacity: int = 1 << 17,
         stateless_fetch: bool = True,
         task_fanout: bool = True,
+        wall_clock_politeness: bool = False,
     ):
         self.web = web
         self.seeds = seeds
@@ -136,6 +137,7 @@ class CrawlEngine:
                 bloom_capacity=bloom_capacity,
                 robots_enabled=robots_enabled,
                 robots_fetch=_RobotsFetch(web) if robots_enabled else None,
+                wall_clock_politeness=wall_clock_politeness,
             )
             for i in range(num_shards)
         ]
@@ -162,6 +164,7 @@ class CrawlEngine:
     def run_wave(self, web_ref) -> bool:
         """Plan + execute one wave; False when the crawl is complete."""
         t0 = time.perf_counter()
+        t_plan = time.time()
         plans = ray.get(
             [s.plan_wave.remote(self.wave_horizon) for s in self.shards]
         )
@@ -184,7 +187,7 @@ class CrawlEngine:
                 web_ref, self.route_attachments, self.link_cap,
                 self._prompts_ref if self.feedback else None, ctrl_cols_early,
             )
-            return self._finish_wave(rows, block_refs, t0)
+            return self._finish_wave(rows, block_refs, t0, t_plan)
 
         ds = self._wave_dataset(rows)
         if self.stateless_fetch:
@@ -257,9 +260,11 @@ class CrawlEngine:
                 ref for bundle in ds.iter_internal_ref_bundles() for ref in bundle.block_refs
             ]
 
-        return self._finish_wave(rows, block_refs, t0)
+        return self._finish_wave(rows, block_refs, t0, t_plan)
 
-    def _finish_wave(self, rows: list[dict], block_refs: list, t0: float) -> bool:
+    def _finish_wave(
+        self, rows: list[dict], block_refs: list, t0: float, t_plan: float
+    ) -> bool:
         ingests = ray.get(
             [s.ingest_wave.remote(block_refs, self.feedback) for s in self.shards]
         )
@@ -278,6 +283,7 @@ class CrawlEngine:
                 "filtered": len(rows) - n_ok,
                 "accepted": n_saved,
                 "wall_s": time.perf_counter() - t0,
+                "t_plan": t_plan,
             }
         )
         # checkpoint AFTER totals/metrics include this wave: restore()
@@ -689,6 +695,7 @@ def _run_shard_waves(shard, shard_idx: int, web_ref, cfg: dict, start_wave: int 
     wave = start_wave
     while True:
         t_wave0 = time.perf_counter()
+        t_plan = time.time()  # absolute grant instant (politeness lineage)
         rows = ray.get(shard.plan_wave.remote(cfg["wave_horizon"]))
         if not rows:
             break
@@ -715,6 +722,7 @@ def _run_shard_waves(shard, shard_idx: int, web_ref, cfg: dict, start_wave: int 
                     "filtered": len(rows) - out["ok"],
                     "accepted": out["saved"],
                     "wall_s": time.perf_counter() - t_wave0,
+                    "t_plan": t_plan,
                 }
             )
             wave += 1
@@ -775,6 +783,7 @@ def _run_shard_waves(shard, shard_idx: int, web_ref, cfg: dict, start_wave: int 
                 "filtered": len(rows) - out["ok"],
                 "accepted": out["saved"],
                 "wall_s": time.perf_counter() - t_wave0,
+                "t_plan": t_plan,
             }
         )
         wave += 1

@@ -242,12 +242,23 @@ class FrontierShardLocal:
         robots_enabled: bool = False,
         robots_fetch=None,
         feedback_enabled: bool = False,
+        wall_clock_politeness: bool = False,
     ):
+        import time as _time
+
         self.shard_id = shard_id
         self.bloom_capacity = bloom_capacity
         self.sites: dict[str, _SiteState] = {}
         self.robots = RobotsCache(fetch_fn=robots_fetch, enabled=robots_enabled)
-        self.politeness = PolitenessQueue()
+        # wall-clock mode anchors per-host pacing to real time (live
+        # deployments); default stays the simulated virtual clock the
+        # conformance oracle models.  Caveat: wall-clock next_allowed
+        # values are HOST-LOCAL monotonic instants — a checkpoint
+        # restored on a different host should re-register sites (one
+        # extra crawl_delay of caution) rather than trust them.
+        self.politeness = PolitenessQueue(
+            clock=_time.monotonic if wall_clock_politeness else None
+        )
         self.feedback_enabled = feedback_enabled
 
     # -- site management ----------------------------------------------

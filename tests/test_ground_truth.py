@@ -712,3 +712,23 @@ def test_training_pipeline_integrity(ray_session, doc_texts, true_jaccard_pairs)
         assert ok, f"doc {d} dropped without a reason"
     assert surv_set, "pipeline must keep something"
     assert len(surv_set) < len(texts), "pipeline must drop something"
+
+
+def test_decontaminate_join_path_matches_broadcast(ray_session):
+    """The over-budget reroute (round-5 fix): forcing a tiny broadcast
+    budget pushes q_decontaminate onto the bucketed semi-join path,
+    which must produce EXACTLY the broadcast path's output."""
+    from crawler_ray.pipelines.queries import q_decontaminate
+
+    def collect(ds):
+        return (
+            ds.to_pandas()
+            .astype({"doc_id": "int64", "n_shared": "int64"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "n_shared"]]
+        )
+
+    broadcast = collect(q_decontaminate(SF))
+    joined = collect(q_decontaminate(SF, broadcast_budget_bytes=128))
+    assert len(broadcast) > 0  # the stand-in eval split does contaminate
+    pd.testing.assert_frame_equal(broadcast, joined)
