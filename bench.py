@@ -165,6 +165,15 @@ def run_benchmarks(crawl_only: bool = False) -> dict:
     timings["crawl"] = round(crawl["sec"], 3)
 
     if not crawl_only:
+        # warm the Ray Data streaming-executor/query path once, untimed
+        # (same policy as the crawl warmup above: cold-start is
+        # per-process, not per-query).  Since the task-fanout crawl
+        # (round 4) no longer executes a Dataset plan, the FIRST Dataset
+        # query absorbed ~2.2 s of executor/worker warmup — measured
+        # round 5: kb first-run 2.53 s vs 0.31-0.36 s steady state,
+        # which is the whole r03→r04 kb "regression" (0.57 → 1.73 s).
+        _consume(QUERIES["kb_pattern_aggregate"](SF_DIR))
+
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             _consume(QUERIES[name](SF_DIR))

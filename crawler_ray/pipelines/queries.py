@@ -2137,6 +2137,79 @@ def q_decontaminate(
     return shared.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
 
 
+# ---------------------------------------------------------------- 9r
+DUPSUB_W = 64
+DUPSUB_STRIDE = 32
+
+
+def q_duplicate_substrings(sf_dir: str):
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method, char-window approximation of the suffix-array form): fixed
+    64-char windows at stride 32; a window occurring in ≥ 2 DISTINCT
+    docs is a duplicated span.  Output per duplicated window: md5 hash,
+    first (min) doc, distinct-doc count, total occurrences.
+
+    Scale shape: flat-map explode (~1 row per 32 input chars) with
+    per-(window, doc) pre-aggregation INSIDE the batch (a doc's text
+    lives in one batch row, so a (window, doc) pair never splits
+    across batches), then one mergeable groupby keyed on the 32-char
+    md5 — the shuffle carries hashes, never window text; no driver
+    state.  Group sizes are bounded by docs-per-window (boilerplate
+    can make these hot, but the aggregate is a mergeable partial, not
+    a map_groups materialization)."""
+    from collections import Counter
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()  # (w_hash, doc_id) -> occurrences
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = t or ""
+            for off in range(0, len(t) - DUPSUB_W + 1, DUPSUB_STRIDE):
+                w = t[off : off + DUPSUB_W]
+                cnt[(hashlib.md5(w.encode()).hexdigest(), d)] += 1
+        if not cnt:
+            return pa.table(
+                {
+                    "w_hash": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "occ": pa.array([], type=pa.int64()),
+                }
+            )
+        keys, occs = zip(*cnt.items())
+        return pa.table(
+            {
+                "w_hash": pa.array([k[0] for k in keys], type=pa.string()),
+                "doc_id": pa.array([k[1] for k in keys], type=pa.int64()),
+                "occ": pa.array(occs, type=pa.int64()),
+            }
+        )
+
+    grouped = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("w_hash")
+        .aggregate(
+            Min("doc_id", alias_name="first_doc_id"),
+            Count(alias_name="n_docs"),  # rows are per-(window, doc)
+            Sum("occ", alias_name="n_occurrences"),
+        )
+    )
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "w_hash": batch["w_hash"],
+                "first_doc_id": batch["first_doc_id"].cast(pa.int64()),
+                "n_docs": batch["n_docs"].cast(pa.int64()),
+                "n_occurrences": batch["n_occurrences"].cast(pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["n_docs"], 2))
+
+    return grouped.map_batches(dup_only, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- 9m
 LM_VOCAB = 4096
 
@@ -2931,6 +3004,25 @@ def q_ann_ivf_topk(sf_dir: str):
     return pdf[["vec_id", "rank"]]
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table: k-means (k=8, deterministic
+    bottom-k-by-id init) then within-cluster greedy-leader cosine dedup
+    at the corpus' near-dup threshold.  Iterative k-means + float
+    cosines → rows-only; exact ground truth (naive Lloyd + driver-side
+    greedy recompute) in tests/test_ground_truth.py."""
+    from crawler_ray.stages.ann import semantic_dedup
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    out = semantic_dedup(
+        ds, dim=dim, k=8, threshold=DUP_COSINE_THRESHOLD
+    ).to_pandas()
+    out = out[["vec_id", "cluster", "kept", "dup_of"]].astype(
+        {"vec_id": "int64", "cluster": "int64", "kept": "bool", "dup_of": "int64"}
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_dedup_clusters(sf_dir: str):
     """End-to-end near-dup clustering: MinHash-LSH candidates →
     join-verified Jaccard ≥ 0.6 → join-based connected components →
@@ -3500,6 +3592,19 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
         "FROM dg JOIN ev USING (gram) GROUP BY doc_id"
     ),
+    # unnest(range(...)) instead of LATERAL generate_series: this
+    # DuckDB build rejects lateral column params in table functions, so
+    # the offset list is a constant range filtered per row
+    "duplicate_substrings": (
+        "WITH idx AS (SELECT unnest(range(1, "
+        f"(SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents), {DUPSUB_STRIDE})) AS i), "
+        f"g AS (SELECT doc_id, substr(text, CAST(i AS BIGINT), {DUPSUB_W}) AS w "
+        f"FROM documents, idx WHERE i + {DUPSUB_W - 1} <= length(text)), "
+        "d AS (SELECT w, doc_id, COUNT(*) AS occ FROM g GROUP BY w, doc_id) "
+        "SELECT md5(w) AS w_hash, MIN(doc_id) AS first_doc_id, "
+        "COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occurrences "
+        "FROM d GROUP BY w HAVING COUNT(*) >= 2"
+    ),
     "doc_chunks": (
         "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
         f"CAST(length(substr(text, ci * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS BIGINT) AS chunk_len, "
@@ -3680,6 +3785,8 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "epoch_shuffle": q_epoch_shuffle,
     "decontaminate": q_decontaminate,
+    "duplicate_substrings": q_duplicate_substrings,
+    "semantic_dedup": q_semantic_dedup,
     # non-SQL-expressible (driver records rows-only checks)
     "kmeans_clusters": q_kmeans_clusters,
     "bigram_lm_score": q_bigram_lm_score,

@@ -290,6 +290,83 @@ def dequantize_matrix(codes_col, scales) -> np.ndarray:
     return codes * np.asarray(scales, dtype=np.float32)[:, None]
 
 
+# ---------------------------------------------------------- SemDeDup
+def semantic_dedup(
+    ds: Dataset,
+    dim: int,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int = 65536,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, public method): k-means cluster the
+    embedding space with :func:`kmeans_full`, then WITHIN each cluster
+    run a deterministic greedy-leader pass in ascending-id order — a
+    vector is DROPPED iff its cosine to some earlier KEPT vector in the
+    same cluster is ≥ ``threshold`` (the earliest such vector is
+    recorded as ``dup_of``).  Near-dup pairs in different clusters are
+    missed by design — that recall/cost trade IS the method.
+
+    Scale shape: the clustering is the streaming k×dim-partials
+    k-means; the within-cluster pass is a ``map_groups`` whose O(c²)
+    similarity matrix is the SemDeDup contract (choose k so clusters
+    are small; c = corpus/k).  ``max_cluster_size`` RAISES past the
+    guard rather than silently degrading — increase k, don't cap.
+
+    Output columns: (id, cluster, kept, dup_of, dup_cosine); kept rows
+    carry dup_of = -1 / dup_cosine = NaN.
+    """
+    _, _, assigned = kmeans_full(
+        ds, dim, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+
+    def dedup_cluster(g: pd.DataFrame) -> pa.Table:
+        if len(g) > max_cluster_size:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(g)} rows exceeds "
+                f"max_cluster_size={max_cluster_size} — the O(c²) "
+                "within-cluster pass would blow up; increase k so "
+                "clusters shrink (SemDeDup's own knob)"
+            )
+        g = g.sort_values(id_col).reset_index(drop=True)
+        M = _normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        )
+        S = M @ M.T
+        n = len(g)
+        kept = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        dup_cos = np.full(n, np.nan, dtype=np.float64)
+        ids = g[id_col].to_numpy()
+        for i in range(1, n):
+            prior = np.where(kept[:i])[0]
+            if prior.size == 0:
+                continue
+            hits = prior[S[i, prior] >= threshold]
+            if hits.size:
+                j = int(hits[0])  # earliest kept duplicate (ids ascend)
+                kept[i] = False
+                dup_of[i] = ids[j]
+                dup_cos[i] = S[i, j]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(
+                    g["cluster"].to_numpy().astype(np.int64)
+                ),
+                "kept": pa.array(kept),
+                "dup_of": pa.array(dup_of, type=pa.int64()),
+                "dup_cosine": pa.array(dup_cos, type=pa.float64()),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )
+
+
 # ------------------------------------------------- distributed k-means
 def kmeans_full(
     ds: Dataset,

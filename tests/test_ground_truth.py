@@ -732,3 +732,62 @@ def test_decontaminate_join_path_matches_broadcast(ray_session):
     joined = collect(q_decontaminate(SF, broadcast_budget_bytes=128))
     assert len(broadcast) > 0  # the stand-in eval split does contaminate
     pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_semantic_dedup_ground_truth(ray_session):
+    """SemDeDup vs a naive driver-side recompute: identical k-means
+    (same bottom-k-by-id init, same iteration count), then the same
+    greedy-leader within-cluster pass — kept set, dup_of attribution
+    and cluster assignment must match row-for-row, and the operator
+    must actually drop the planted near-dup embeddings."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.queries import (
+        DUP_COSINE_THRESHOLD,
+        q_semantic_dedup,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    ids = tbl["vec_id"].to_numpy()[order]
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )[order]
+    k, iters = 8, 8
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = X[a == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    a = np.argmin(d2, axis=1)
+
+    M = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    kept = np.ones(len(ids), dtype=bool)
+    dup_of = np.full(len(ids), -1, dtype=np.int64)
+    for c in range(k):
+        members = np.where(a == c)[0]  # ids ascend within members
+        S = M[members] @ M[members].T
+        for pos in range(1, len(members)):
+            prior = [p for p in range(pos) if kept[members[p]]]
+            hits = [p for p in prior if S[pos, p] >= DUP_COSINE_THRESHOLD]
+            if hits:
+                i = members[pos]
+                kept[i] = False
+                dup_of[i] = ids[members[hits[0]]]
+    naive = pd.DataFrame(
+        {"vec_id": ids, "cluster": a.astype(np.int64), "kept": kept, "dup_of": dup_of}
+    ).sort_values("vec_id").reset_index(drop=True)
+
+    got = q_semantic_dedup(SF)
+    pd.testing.assert_frame_equal(got, naive)
+    assert (~got["kept"]).sum() > 0, "planted near-dups must be dropped"
+    # every drop's leader is kept, in the same cluster, and earlier
+    row = got.set_index("vec_id")
+    for r in got[~got["kept"]].itertuples(index=False):
+        assert bool(row.loc[r.dup_of, "kept"])
+        assert int(row.loc[r.dup_of, "cluster"]) == int(r.cluster)
+        assert r.dup_of < r.vec_id
