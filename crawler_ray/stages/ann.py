@@ -96,11 +96,13 @@ def brute_force_topk(
 # ``filter(expr=...)``, which still scans every block: at 100 TB that
 # made IVF no cheaper than brute force.
 def train_centroids(
-    ds: Dataset, dim: int, n_cells: int = 16, sample: int = 2048,
+    ds: Dataset, dim: int = 0, n_cells: int = 16, sample: int = 2048,
     iters: int = 10, seed: int = 42, vec_col: str = "embedding",
 ) -> np.ndarray:
     """Mini k-means on a seeded sample (driver-side — the sample is
-    small; at 100 TB this is the standard IVF train-on-sample step)."""
+    small; at 100 TB this is the standard IVF train-on-sample step).
+    ``dim`` is unused (inferred from the sample); kept for signature
+    compatibility with older callers."""
     rows = ds.select_columns([vec_col]).limit(sample).take_all()
     mat = _normalize(_as_matrix([r[vec_col] for r in rows]))
     rng = np.random.default_rng(seed)
@@ -197,7 +199,7 @@ def build_ivf_index(
     import os
 
     cents = train_centroids(
-        ds, dim=0, n_cells=n_cells, sample=sample, iters=iters,
+        ds, n_cells=n_cells, sample=sample, iters=iters,
         seed=seed, vec_col=vec_col,
     )
     cents_ref = ray.put(cents)
