@@ -585,6 +585,60 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------------- 8d
+MIXTURE_TOTAL = 200  # sample budget allocated across sources
+
+
+def q_source_mixture(sf_dir: str):
+    """Temperature-weighted source-mixture sample (the domain/language
+    mixture step of multilingual training pipelines — α = 0.5
+    upsampling of small sources, Conneau & Lample 2019 §3.1): each
+    source gets quota = total·⌊√n_s⌋ // Σ⌊√n_t⌋ — INTEGER math end to
+    end, so the SQL twin is bit-identical with no float-boundary
+    flooring — filled deterministically with the source's
+    smallest-md5(text) docs (the stratified_sample rule).
+
+    Scale shape: the per-source count table is |sources| rows (tiny,
+    bounded — the one driver-side collect); quotas broadcast in the
+    closure; per-block partial head keeps ≤ max-quota rows per
+    (block, source) so the per-source shuffle never carries the
+    corpus."""
+    import math
+
+    ds = _doc(sf_dir, ["doc_id", "source", "text"])
+    counts = (
+        ds.groupby("source").aggregate(Count(alias_name="n")).to_pandas()
+    )  # bound: |sources| rows
+    weights = {
+        s: math.isqrt(int(n)) for s, n in zip(counts["source"], counts["n"])
+    }
+    wsum = sum(weights.values())
+    quota = {s: (MIXTURE_TOTAL * w) // wsum for s, w in weights.items()}
+    qmax = max(quota.values())
+
+    def hash_and_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = [
+            hashlib.md5((t or "").encode()).hexdigest() for t in df["text"]
+        ]
+        df = df.sort_values(["h", "doc_id"]).groupby("source", sort=False).head(
+            qmax
+        )
+        return table_from_pandas(df[["source", "doc_id", "h"]])
+
+    def final_take(g: pd.DataFrame) -> pa.Table:
+        q = quota.get(g["source"].iloc[0], 0)
+        return table_from_pandas(
+            g.sort_values(["h", "doc_id"]).head(q)[["source", "doc_id"]]
+        )
+
+    return (
+        ds.map_batches(hash_and_prune, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_take, batch_format="pandas")
+    )
+
+
 # ----------------------------------------------------------------- 9b
 GROUP_TOPK = 3
 
@@ -765,6 +819,36 @@ def q_embedding_near_dups(sf_dir: str):
     if pdf.empty:
         pdf = pd.DataFrame({"id_a": [], "id_b": []})
     pdf = pdf[["id_a", "id_b"]].astype(np.int64)
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- 14a2
+NGRAM_JACCARD_N = 3
+NGRAM_JACCARD_NUM, NGRAM_JACCARD_DEN = 1, 2  # jaccard ≥ 1/2, integer-exact
+NGRAM_JACCARD_MAX_DF = 64
+
+
+def q_ngram_jaccard_near_dups(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs over the documents table
+    (the ground truth MinHash approximates): DF-pruned gram space
+    (df > max_df = stop grams, excluded on both sides — the MOSS
+    rule), rational threshold compared in integer math so the SQL
+    twin is bit-identical."""
+    from crawler_ray.stages.dedup import ngram_jaccard_near_dups
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_near_dups(
+        ds,
+        tokenize=lambda t: _VOCAB_TOKEN.findall((t or "").lower()),
+        n=NGRAM_JACCARD_N,
+        threshold_num=NGRAM_JACCARD_NUM,
+        threshold_den=NGRAM_JACCARD_DEN,
+        max_df=NGRAM_JACCARD_MAX_DF,
+    )
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame({"id_a": [], "id_b": [], "n_shared": []})
+    pdf = pdf[["id_a", "id_b", "n_shared"]].astype(np.int64)
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -3468,6 +3552,18 @@ ORACLE_SQL: dict[str, str] = {
         "PARTITION BY source ORDER BY md5(text), doc_id) AS rn FROM documents"
         f") WHERE rn <= {STRATA_K}"
     ),
+    "source_mixture": (
+        "WITH n AS (SELECT source, count(*) AS n FROM documents "
+        "GROUP BY source), "
+        "w AS (SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM n), "
+        f"q AS (SELECT source, CAST(({MIXTURE_TOTAL} * w) // "
+        "(SELECT sum(w) FROM w) AS BIGINT) AS quota FROM w), "
+        "r AS (SELECT source, doc_id, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY md5(text), doc_id) AS rn "
+        "FROM documents) "
+        "SELECT r.source, r.doc_id FROM r JOIN q USING (source) "
+        "WHERE rn <= quota ORDER BY source, doc_id"
+    ),
     "customers_without_orders": (
         "SELECT c_custkey, c_name FROM customer "
         "WHERE c_custkey NOT IN ("
@@ -3719,6 +3815,26 @@ ORACLE_SQL: dict[str, str] = {
         "PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM s"
         f") WHERE rank <= {KNN_JOIN_K}"
     ),
+    "ngram_jaccard_near_dups": (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+') AS w FROM documents), "
+        "pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - "
+        f"{NGRAM_JACCARD_N - 2}, 1))) AS i FROM toks), "
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+"
+        f"{NGRAM_JACCARD_N - 1}], ' ') AS gram FROM pos), "
+        "kept AS (SELECT gram FROM grams GROUP BY gram "
+        f"HAVING count(*) <= {NGRAM_JACCARD_MAX_DF}), "
+        "fg AS (SELECT g.doc_id, g.gram FROM grams g JOIN kept USING (gram)), "
+        "cnt AS (SELECT doc_id, count(*) AS ng FROM fg GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS n_shared FROM fg a JOIN fg b USING (gram) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared "
+        "FROM inter JOIN cnt ca ON ca.doc_id = id_a "
+        "JOIN cnt cb ON cb.doc_id = id_b "
+        f"WHERE {NGRAM_JACCARD_DEN} * n_shared >= {NGRAM_JACCARD_NUM} * "
+        "(ca.ng + cb.ng - n_shared) ORDER BY id_a, id_b"
+    ),
     "embedding_near_dups": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
         "WHERE a.vec_id < b.vec_id AND list_cosine_similarity("
@@ -3749,6 +3865,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "bigram_topk": q_bigram_topk,
     "stratified_sample": q_stratified_sample,
+    "source_mixture": q_source_mixture,
     "customers_without_orders": q_customers_without_orders,
     "active_suppliers": q_active_suppliers,
     "event_gaps": q_event_gaps,
@@ -3770,6 +3887,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "knn_join": q_knn_join,
     "embedding_near_dups": q_embedding_near_dups,
+    "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
     "link_relevance": q_link_relevance,
     "url_validity": q_url_validity,
     "site_identifier": q_site_identifier,

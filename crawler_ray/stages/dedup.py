@@ -933,3 +933,178 @@ def fingerprint_near_dups(
         return out.filter(pc.greater_equal(out["resemblance"], threshold))
 
     return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------- exact n-gram Jaccard
+def ngram_jaccard_near_dups(
+    ds: Dataset,
+    tokenize,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int = 64,
+    stop_budget_bytes: int = 64 << 20,
+) -> Dataset:
+    """EXACT n-gram Jaccard near-duplicate pairs: |A∩B| / |A∪B| ≥
+    threshold_num/threshold_den over each document's DISTINCT word
+    n-gram set — the ground-truth resemblance that MinHash-LSH
+    (`minhash_candidate_pairs`) only approximates.
+
+    Grams present in more than ``max_df`` documents are STOP GRAMS
+    excluded from the gram space on BOTH sides of the resemblance
+    (the Schleimer/MOSS over-frequent-discard rule, same contract as
+    ``fingerprint_near_dups``): a semantic definition, not a
+    truncation, so the result is exact over the filtered space at any
+    corpus size and every gram's doc list is ≤ max_df, bounding the
+    pair explosion at O(df²), df ≤ max_df.
+
+    The threshold is a rational ``num/den`` compared in integer math
+    (``den·|A∩B| ≥ num·|A∪B|``) so the Ray and SQL sides agree
+    bit-for-bit with no float in the decision.
+
+    Scale shape (identical to fingerprint_near_dups, with gram strings
+    instead of winnowed hashes — at 100 TB prefer the winnowing
+    variant, whose gram space is ~1/w of this one):
+    1. pass A: df per distinct (doc, gram) → grouped sum; grams with
+       df > max_df form the stop set. |stop| ≤ total gram occurrences
+       / max_df; a byte budget RAISES (never silently truncates) if
+       the broadcast would exceed ``stop_budget_bytes`` — raise
+       max_df or switch to fingerprint_near_dups instead.
+    2. pass B: re-explode distinct grams minus stops with per-doc
+       post-filter gram counts (two map scans, nothing materialized).
+    3. co-locate by stable_hash64(gram) % 64 fixed partitions; pairs
+       per gram via vectorized triu, list ≤ max_df (asserted, raised).
+    4. grouped count per (id_a, id_b) = |A∩B| exactly;
+       |A∪B| = ng_a + ng_b − |A∩B| from counts carried on pair rows.
+    """
+    from collections import Counter
+
+    from crawler_ray.functions.hashing import stable_hash64
+
+    def doc_grams(text: str) -> set:
+        toks = tokenize(text or "")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    # ---- pass A: document frequency per gram → stop-gram set ----
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(doc_grams(t))
+        return pa.table(
+            {
+                "gram": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    df_ds = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(_Sum("n", alias_name="df"))
+    )
+
+    def keep_stops(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["df"], max_df))
+
+    stop_pdf = df_ds.map_batches(keep_stops, batch_format="pyarrow").to_pandas()
+    # an all-filtered Dataset yields a zero-COLUMN frame, not zero rows
+    if "gram" not in stop_pdf.columns:
+        stop_pdf = pd.DataFrame({"gram": pd.Series([], dtype=str)})
+    stop_bytes = int(stop_pdf["gram"].str.len().sum()) if len(stop_pdf) else 0
+    if stop_bytes > stop_budget_bytes:
+        raise ValueError(
+            f"stop-gram set is {stop_bytes}B > budget {stop_budget_bytes}B: "
+            "raise max_df or use fingerprint_near_dups (winnowed space)"
+        )
+    stop_set = frozenset(stop_pdf["gram"])
+
+    # ---- pass B: explode distinct grams minus stops ----
+    def explode_filtered(batch: pa.Table) -> pa.Table:
+        ids, grams, counts, pkeys = [], [], [], []
+        for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            g = doc_grams(t) - stop_set
+            ids.extend([d] * len(g))
+            counts.extend([len(g)] * len(g))
+            for gr in g:
+                grams.append(gr)
+                pkeys.append(stable_hash64(gr) % 64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "gram": pa.array(grams, type=pa.string()),
+                "ng": pa.array(counts, type=pa.int64()),
+                "pkey": pa.array(pkeys, type=pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode_filtered, batch_format="pyarrow")
+
+    def pairs_of_partition(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
+        frames = []
+        for gram_val, grp in g.groupby("gram", sort=False):
+            order = np.argsort(grp[id_col].to_numpy())
+            members = grp[id_col].to_numpy()[order]
+            ngs = grp["ng"].to_numpy()[order]
+            m = len(members)
+            if m < 2:
+                continue
+            if m > max_df:  # impossible post stop-filter; raise, never cap
+                raise RuntimeError(
+                    f"gram {gram_val!r} has df={m} > max_df={max_df} "
+                    "after the stop-gram pass — pass A missed it"
+                )
+            ia, ib = np.triu_indices(m, k=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": members[ia], "id_b": members[ib],
+                        "ng_a": ngs[ia], "ng_b": ngs[ib],
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "ng_a": pa.array([], type=pa.int64()),
+                    "ng_b": pa.array([], type=pa.int64()),
+                }
+            )
+        return table_from_pandas(pd.concat(frames, ignore_index=True))
+
+    pairs = exploded.groupby("pkey").map_groups(
+        pairs_of_partition, batch_format="pandas"
+    )
+    from ray.data.aggregate import Max
+
+    counted = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_shared"),
+        Max("ng_a", alias_name="ng_a"),
+        Max("ng_b", alias_name="ng_b"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (
+            batch["ng_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            + batch["ng_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            - inter
+        )
+        keep = threshold_den * inter >= threshold_num * union  # integer-exact
+        out = pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "n_shared": pa.array(inter),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return counted.map_batches(finalize, batch_format="pyarrow")

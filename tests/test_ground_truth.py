@@ -498,6 +498,138 @@ def test_fingerprint_near_dups_ground_truth(ray_session, doc_texts):
         assert r == pytest.approx(truth[p], abs=1e-12)
 
 
+def test_ngram_jaccard_near_dups_ground_truth(ray_session, doc_texts):
+    """Engine pairs vs exhaustive all-pairs DISTINCT-trigram Jaccard
+    over all sf0.001 docs (the oracle-backed exact operator — same
+    tokenizer, same DF-prune rule, integer threshold math): exact pair
+    set AND exact intersection counts, no approximation slack."""
+    import re as _re
+    from collections import Counter
+
+    from crawler_ray.pipelines.queries import (
+        NGRAM_JACCARD_MAX_DF,
+        q_ngram_jaccard_near_dups,
+    )
+
+    tok = _re.compile(r"[a-z0-9_]+")
+    ids = sorted(doc_texts)
+    grams = {}
+    for i in ids:
+        toks = tok.findall((doc_texts[i] or "").lower())
+        grams[i] = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+    df = Counter()
+    for g in grams.values():
+        df.update(g)
+    stop = {g for g, n in df.items() if n > NGRAM_JACCARD_MAX_DF}
+    fg = {i: g - stop for i, g in grams.items()}
+    truth = {}
+    for a, b in itertools.combinations(ids, 2):
+        inter = len(fg[a] & fg[b])
+        if inter and 2 * inter >= len(fg[a]) + len(fg[b]) - inter:
+            truth[(a, b)] = inter
+    assert truth, "fixture must contain true near-dup pairs"
+
+    got = q_ngram_jaccard_near_dups(SF)
+    engine = {
+        (int(r.id_a), int(r.id_b)): int(r.n_shared)
+        for r in got.itertuples(index=False)
+    }
+    assert engine == truth
+
+
+def test_ngram_jaccard_stop_gram_and_budget(ray_session):
+    """The DF-prune path on a constructed corpus: a boilerplate
+    trigram shared by every doc (df > max_df) must be excluded from
+    the gram space on both sides (pairs judged on the residual grams
+    only), and an undersized stop budget must RAISE, never truncate."""
+    import ray.data as rd
+
+    from crawler_ray.stages.dedup import ngram_jaccard_near_dups
+
+    boiler = "all rights reserved"
+    rows = [
+        # docs 0/1: identical residual after the boilerplate is dropped
+        {"doc_id": 0, "text": f"{boiler} alpha beta gamma delta"},
+        {"doc_id": 1, "text": f"{boiler} alpha beta gamma delta"},
+        # doc 2 shares ONLY the boilerplate → no pair once it's a stop gram
+        {"doc_id": 2, "text": f"{boiler} omega psi chi phi"},
+        {"doc_id": 3, "text": f"{boiler} one two three four"},
+    ]
+    ds = rd.from_items(rows)
+    tok = lambda t: t.lower().split()  # noqa: E731
+    pairs = ngram_jaccard_near_dups(
+        ds, tokenize=tok, n=3, threshold_num=1, threshold_den=2, max_df=2
+    ).to_pandas()
+    got = {
+        (int(r.id_a), int(r.id_b)): int(r.n_shared)
+        for r in pairs.itertuples(index=False)
+    }
+    # "reserved alpha beta" etc. differ per doc; docs 0/1 share all
+    # residual grams, docs 2/3 share none beyond the stopped boilerplate
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] >= 2
+
+    with pytest.raises(ValueError, match="stop-gram set"):
+        ngram_jaccard_near_dups(
+            ds, tokenize=tok, n=3, max_df=2, stop_budget_bytes=1
+        ).to_pandas()
+
+
+def test_source_mixture_skewed_ground_truth(ray_session, tmp_path):
+    """Temperature-mixture math on a SKEWED corpus (the sf sources are
+    uniform, so their quotas degenerate to equal — this exercises the
+    α=0.5 upsampling for real): integer quotas ∝ ⌊√n_s⌋, small source
+    over-represented relative to its share, quota > group size degrades
+    to the whole group, and the engine matches both a brute force and
+    the DuckDB oracle twin on the same table."""
+    import hashlib as _hl
+    import math as _math
+
+    import duckdb
+
+    from crawler_ray.pipelines.queries import (
+        MIXTURE_TOTAL,
+        ORACLE_SQL,
+        q_source_mixture,
+    )
+
+    rows = []
+    did = 0
+    for src, n_docs in (("big", 320), ("mid", 45), ("tiny", 4)):
+        for _ in range(n_docs):
+            rows.append(
+                {"doc_id": did, "source": src, "text": f"doc {did} of {src}"}
+            )
+            did += 1
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    # brute force with the same integer math
+    cnt = pdf.groupby("source").size()
+    w = {s: _math.isqrt(int(n)) for s, n in cnt.items()}
+    quota = {s: (MIXTURE_TOTAL * ww) // sum(w.values()) for s, ww in w.items()}
+    assert quota["tiny"] > 4, "quota must exceed the tiny group size"
+    # α=0.5 upsampling: tiny's quota share must beat its corpus share
+    assert quota["tiny"] / MIXTURE_TOTAL > 4 / len(pdf)
+    pdf["h"] = [_hl.md5(t.encode()).hexdigest() for t in pdf["text"]]
+    truth = set()
+    for s, g in pdf.sort_values(["h", "doc_id"]).groupby("source"):
+        truth |= set(g.head(quota[s])["doc_id"])
+
+    got = q_source_mixture(str(tmp_path)).to_pandas()
+    assert set(got["doc_id"].astype(int)) == truth
+    assert len(got) == len(truth)
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(ORACLE_SQL["source_mixture"]).df()
+    assert set(oracle["doc_id"].astype(int)) == truth
+
+
 def test_repetition_signals_dup_path_vs_sql_twin():
     """The driver corpus never repeats a 5-gram (dup5_micro is 0 for
     every sf doc), so the oracle gate alone cannot falsify the dup
