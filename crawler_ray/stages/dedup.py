@@ -55,6 +55,82 @@ def add_content_hash(ds: Dataset, text_col: str = "text", algo: str = "md5") -> 
     return ds.map_batches(_hash, batch_format="pyarrow")
 
 
+# ------------------------------------------- pair-combine (scale path)
+def combine_pairs_by_hash(
+    pairs: Dataset,
+    agg_spec: list,
+    n_parts: int = 64,
+) -> Dataset:
+    """Aggregate candidate-pair rows down to one row per (id_a, id_b).
+
+    Replaces ``pairs.groupby(["id_a", "id_b"]).aggregate(...)``: Ray
+    Data's multi-key aggregate runs a per-group Python accumulator
+    (~12k groups/s measured at sf0.1 — minutes of CPU once candidate
+    pairs reach ~1M, for seconds of real work). Instead: (1) map-side
+    partial combine per batch, (2) co-locate on ONE derived hash key
+    with ``n_parts`` groups, (3) one vectorized pandas combine per
+    partition. Exact for mergeable aggs only: 'size' partials merge by
+    sum, 'sum' by sum, 'max' by max.
+
+    ``agg_spec``: list of ``(out_name, src_col | None, op)`` with op in
+    {'size', 'sum', 'max'}; src_col is ignored for 'size'.
+    """
+    part_ops, merge_ops = {}, {}
+    for out, src, op in agg_spec:
+        if op == "size":
+            part_ops[out] = ("__one", "sum")
+            merge_ops[out] = (out, "sum")
+        elif op in ("sum", "max"):
+            part_ops[out] = (src, op)
+            merge_ops[out] = (out, op)
+        else:
+            raise ValueError(f"unsupported pair-agg op {op!r}")
+
+    out_cols = list(part_ops)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            **{c: pa.array([], type=pa.int64()) for c in out_cols},
+            "pair_pkey": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def partial(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
+        if not len(g):
+            return empty
+        g = g.assign(__one=np.int64(1))
+        comb = (
+            g.groupby(["id_a", "id_b"], sort=False)
+            .agg(**part_ops)
+            .reset_index()
+        )
+        pk = (
+            comb["id_a"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+            + comb["id_b"].to_numpy().astype(np.uint64)
+        ) % np.uint64(n_parts)
+        comb["pair_pkey"] = pk.astype(np.int64)
+        return table_from_pandas(comb[["id_a", "id_b", *out_cols, "pair_pkey"]])
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import table_from_pandas
+
+        comb = (
+            g.groupby(["id_a", "id_b"], sort=False)
+            .agg(**merge_ops)
+            .reset_index()
+        )
+        return table_from_pandas(comb[["id_a", "id_b", *out_cols]])
+
+    return (
+        pairs.map_batches(partial, batch_format="pandas")
+        .groupby("pair_pkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def exact_dedup_first(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> Dataset:
@@ -210,12 +286,12 @@ def minhash_candidate_pairs(
     pairs = exploded.groupby("pkey").map_groups(
         pairs_of_partition, batch_format="pandas"
     )
-    # dedup pairs found by multiple bands: a single vectorized aggregate
-    # (no python-per-group) — n_bands doubles as an LSH-confidence signal
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_bands"), Max("bucket_capped", alias_name="bucket_capped")
+    # dedup pairs found by multiple bands — n_bands doubles as an
+    # LSH-confidence signal; hash-partition combine, not a multi-key
+    # ray.data aggregate (Python-accumulator path, see combine_pairs_by_hash)
+    return combine_pairs_by_hash(
+        pairs,
+        [("n_bands", None, "size"), ("bucket_capped", "bucket_capped", "max")],
     )
 
 
@@ -562,11 +638,9 @@ def simhash_near_dups(
     ).materialize()
     if pairs.count() == 0:
         return pairs
-    from ray.data.aggregate import Max as _Max
-
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_chunks_hit"),
-        _Max("bucket_capped", alias_name="bucket_capped"),
+    uniq = combine_pairs_by_hash(
+        pairs,
+        [("n_chunks_hit", None, "size"), ("bucket_capped", "bucket_capped", "max")],
     )
 
     # 64-bit hashes travel through the join as hex STRINGS: the join's
@@ -906,12 +980,13 @@ def fingerprint_near_dups(
     pairs = exploded.groupby("pkey").map_groups(
         pairs_of_partition, batch_format="pandas"
     )
-    from ray.data.aggregate import Max
-
-    counted = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_shared"),
-        Max("nf_a", alias_name="nf_a"),
-        Max("nf_b", alias_name="nf_b"),
+    counted = combine_pairs_by_hash(
+        pairs,
+        [
+            ("n_shared", None, "size"),
+            ("nf_a", "nf_a", "max"),
+            ("nf_b", "nf_b", "max"),
+        ],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
