@@ -248,32 +248,36 @@ def minhash_candidate_pairs(
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def pairs_of_partition(g: pd.DataFrame) -> pa.Table:
+        # factorize → contiguous segments → triu per multi-doc bucket;
+        # no per-group sub-DataFrame (pandas groupby iteration allocates
+        # one per group — the measured 20× n-gram-Jaccard pathology)
         from crawler_ray.functions.arrow_utils import table_from_pandas
 
-        frames = []
-        for _, grp in g.groupby("band_key", sort=False):
-            members = np.sort(grp[id_col].to_numpy())
-            m = len(members)
-            if m < 2:
-                continue
+        codes, _ = pd.factorize(g["band_key"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        ids = g[id_col].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], len(codes_s)]
+        sizes = ends - starts
+        cols_a, cols_b, cols_c = [], [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            members = np.sort(ids[s:e])
+            m = e - s
             # O(n²) guard: a degenerate bucket (e.g. empty-text docs all
             # hashing identically) would explode; cap and RECORD the drop
             # so truncation is never silent (the capped bucket still
             # yields first-vs-rest pairs, clustering members transitively)
             if m > max_bucket_size:
-                frames.append(
-                    pd.DataFrame(
-                        {"id_a": members[0], "id_b": members[1:], "bucket_capped": 1}
-                    )
-                )
+                cols_a.append(np.full(m - 1, members[0]))
+                cols_b.append(members[1:])
+                cols_c.append(np.ones(m - 1, dtype=np.int64))
                 continue
             ia, ib = np.triu_indices(m, k=1)
-            frames.append(
-                pd.DataFrame(
-                    {"id_a": members[ia], "id_b": members[ib], "bucket_capped": 0}
-                )
-            )
-        if not frames:
+            cols_a.append(members[ia])
+            cols_b.append(members[ib])
+            cols_c.append(np.zeros(len(ia), dtype=np.int64))
+        if not cols_a:
             return pa.table(
                 {
                     "id_a": pa.array([], type=pa.int64()),
@@ -281,7 +285,15 @@ def minhash_candidate_pairs(
                     "bucket_capped": pa.array([], type=pa.int64()),
                 }
             )
-        return table_from_pandas(pd.concat(frames, ignore_index=True))
+        return table_from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": np.concatenate(cols_a).astype(np.int64),
+                    "id_b": np.concatenate(cols_b).astype(np.int64),
+                    "bucket_capped": np.concatenate(cols_c),
+                }
+            )
+        )
 
     pairs = exploded.groupby("pkey").map_groups(
         pairs_of_partition, batch_format="pandas"
@@ -601,14 +613,22 @@ def simhash_near_dups(
     neighbor_cap = 256
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # factorize → contiguous segments (no per-group sub-DataFrame —
+        # pandas groupby iteration allocates one per group, the measured
+        # 20× n-gram-Jaccard pathology)
         from crawler_ray.functions.arrow_utils import table_from_pandas
 
-        frames = []
-        for _, grp in g.groupby("chunk_key", sort=False):
-            members = np.sort(grp[id_col].to_numpy())
-            m = len(members)
-            if m < 2:
-                continue
+        codes, _ = pd.factorize(g["chunk_key"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        ids = g[id_col].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], len(codes_s)]
+        sizes = ends - starts
+        cols_a, cols_b, cols_c = [], [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            members = np.sort(ids[s:e])
+            m = e - s
             # sorted-neighbor pairs at distance ≤ cap, generated
             # DIRECTLY — O(m·cap) work and memory.  Building the full
             # triu index arrays first (O(m²)) just to filter them would
@@ -620,10 +640,10 @@ def simhash_near_dups(
             capped = int(m - 1 > neighbor_cap)
             ia = np.concatenate([members[:-d] for d in range(1, maxd + 1)])
             ib = np.concatenate([members[d:] for d in range(1, maxd + 1)])
-            frames.append(
-                pd.DataFrame({"id_a": ia, "id_b": ib, "bucket_capped": capped})
-            )
-        if not frames:
+            cols_a.append(ia)
+            cols_b.append(ib)
+            cols_c.append(np.full(len(ia), capped, dtype=np.int64))
+        if not cols_a:
             return pa.table(
                 {
                     "id_a": pa.array([], type=pa.int64()),
@@ -631,7 +651,15 @@ def simhash_near_dups(
                     "bucket_capped": pa.array([], type=pa.int64()),
                 }
             )
-        return table_from_pandas(pd.concat(frames, ignore_index=True))
+        return table_from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": np.concatenate(cols_a).astype(np.int64),
+                    "id_b": np.concatenate(cols_b).astype(np.int64),
+                    "bucket_capped": np.concatenate(cols_c),
+                }
+            )
+        )
 
     pairs = exploded.groupby("pkey").map_groups(
         bucket_pairs, batch_format="pandas"
@@ -942,30 +970,51 @@ def fingerprint_near_dups(
     ).map_batches(add_pkey, batch_format="pyarrow")
 
     def pairs_of_partition(g: pd.DataFrame) -> pa.Table:
+        # factorize → contiguous segments → triu per multi-doc fp; no
+        # per-group sub-DataFrame (pandas groupby iteration allocates
+        # one per group — the measured 20× n-gram-Jaccard pathology)
         from crawler_ray.functions.arrow_utils import table_from_pandas
 
-        frames = []
-        for fp_val, grp in g.groupby("fp", sort=False):
-            order = np.argsort(grp[id_col].to_numpy())
-            members = grp[id_col].to_numpy()[order]
-            nf = grp["n_fps"].to_numpy()[order]
-            m = len(members)
-            if m < 2:
-                continue
-            if m > max_df:  # impossible post stop-filter; raise, never cap
-                raise RuntimeError(
-                    f"fingerprint {fp_val} has df={m} > max_df={max_df} "
-                    "after the stop-fingerprint pass — pass A missed it"
-                )
-            ia, ib = np.triu_indices(m, k=1)
-            frames.append(
+        codes, _ = pd.factorize(g["fp"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        ids = g[id_col].to_numpy()[order]
+        nfs = g["n_fps"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], len(codes_s)]
+        sizes = ends - starts
+        if sizes.size and int(sizes.max()) > max_df:
+            # impossible post stop-filter; raise, never cap
+            bad = int(np.argmax(sizes))
+            raise RuntimeError(
+                f"fingerprint {g['fp'].iloc[int(order[starts[bad]])]} has "
+                f"df={int(sizes.max())} > max_df={max_df} after the "
+                "stop-fingerprint pass — pass A missed it"
+            )
+        cols_a, cols_b, cols_na, cols_nb = [], [], [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            seg = np.argsort(ids[s:e])
+            members = ids[s:e][seg]
+            nf = nfs[s:e][seg]
+            ia, ib = np.triu_indices(e - s, k=1)
+            cols_a.append(members[ia])
+            cols_b.append(members[ib])
+            cols_na.append(nf[ia])
+            cols_nb.append(nf[ib])
+        frames = (
+            [
                 pd.DataFrame(
                     {
-                        "id_a": members[ia], "id_b": members[ib],
-                        "nf_a": nf[ia], "nf_b": nf[ib],
+                        "id_a": np.concatenate(cols_a).astype(np.int64),
+                        "id_b": np.concatenate(cols_b).astype(np.int64),
+                        "nf_a": np.concatenate(cols_na).astype(np.int64),
+                        "nf_b": np.concatenate(cols_nb).astype(np.int64),
                     }
                 )
-            )
+            ]
+            if cols_a
+            else []
+        )
         if not frames:
             return pa.table(
                 {
