@@ -1014,6 +1014,141 @@ def q_active_suppliers(sf_dir: str):
     )
 
 
+def _per_custkey_count(sf_dir: str, priority: str, out_col: str):
+    """Per-custkey order count for one priority class, pre-aggregated
+    map-side (each batch ships ≤ its distinct custkeys, not its rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()
+            .groupby("o_custkey", as_index=False)
+            .size()
+            .rename(columns={"size": out_col})
+        )
+        return table_from_pandas(df)
+
+    return (
+        _read(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+            filter=(pc.field("o_orderpriority") == priority),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum(out_col, alias_name=out_col))
+        .map_batches(
+            lambda t: t.rename_columns(["custkey", out_col]), batch_format="pyarrow"
+        )
+    )
+
+
+# ---------------------------------------------------------------- 14g
+def q_customer_urgent_left_join(sf_dir: str):
+    """LEFT OUTER bucketed hash join with both sides large: every
+    customer, with their URGENT-order count or a -1 sentinel when they
+    placed none.  Unmatched left rows surface from the matched bucket
+    (bucketing is a function of the key, so bucket-local null-fill is
+    exact); the sentinel replaces SQL NULL because the driver's value
+    hash compares NaN-vs-NaN (never equal) on nullable columns."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["custkey", "c_name"])
+
+    joined = bucketed_hash_join(
+        cust.map_batches(rekey, batch_format="pyarrow"),
+        _per_custkey_count(sf_dir, "1-URGENT", "n_urgent"),
+        key="custkey",
+        n_buckets=16,
+        how="left",
+        left_schema=pa.schema([("custkey", pa.int64()), ("c_name", pa.string())]),
+        right_schema=pa.schema([("custkey", pa.int64()), ("n_urgent", pa.int64())]),
+    )
+
+    def sentinel(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("n_urgent"),
+            "n_urgent",
+            pc.fill_null(t["n_urgent"], pa.scalar(-1, type=pa.int64())),
+        )
+
+    return joined.map_batches(sentinel, batch_format="pyarrow")
+
+
+def q_order_priority_full_join(sf_dir: str):
+    """FULL OUTER bucketed hash join: per-custkey URGENT vs 5-LOW order
+    counts — customers present on only one side get the -1 sentinel on
+    the other (genuinely one-sided keys on both sides, so both
+    unmatched paths are exercised)."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    joined = bucketed_hash_join(
+        _per_custkey_count(sf_dir, "1-URGENT", "n_urgent"),
+        _per_custkey_count(sf_dir, "5-LOW", "n_low"),
+        key="custkey",
+        n_buckets=16,
+        how="outer",
+        left_schema=pa.schema([("custkey", pa.int64()), ("n_urgent", pa.int64())]),
+        right_schema=pa.schema([("custkey", pa.int64()), ("n_low", pa.int64())]),
+    )
+
+    def sentinel(t: pa.Table) -> pa.Table:
+        for col in ("n_urgent", "n_low"):
+            t = t.set_column(
+                t.schema.get_field_index(col),
+                col,
+                pc.fill_null(t[col], pa.scalar(-1, type=pa.int64())),
+            )
+        return t
+
+    return joined.map_batches(sentinel, batch_format="pyarrow")
+
+
+def q_latest_order_per_customer(sf_dir: str):
+    """Arg-max per key (last-crawl-wins dedup shape): each customer's
+    most recent order, ties broken by the larger orderkey.  Map-side
+    partial arg-max per batch (ships ≤ distinct custkeys per batch),
+    then the same vectorized reduction per hash partition — the
+    shuffle key cardinality stays 16, not |customers|."""
+    ds = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).groupby(
+            "o_custkey", as_index=False, sort=False
+        ).tail(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = keep_latest(batch.to_pandas())
+        pk = (
+            pd.util.hash_array(df["o_custkey"].to_numpy().astype(np.int64))
+            % np.uint64(16)
+        ).astype(np.int64)
+        return table_from_pandas(df.assign(pkey=pk))
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        df = keep_latest(g)
+        return pa.table(
+            {
+                "custkey": pa.array(df["o_custkey"].to_numpy(), type=pa.int64()),
+                "latest_okey": pa.array(df["o_orderkey"].to_numpy(), type=pa.int64()),
+                "latest_date": pa.Array.from_pandas(
+                    df["o_orderdate"], type=pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- 10c
 def q_event_gaps(sf_dir: str):
     """Window lag: per event, microseconds since the user's previous
@@ -1087,6 +1222,33 @@ def q_events_pivot(sf_dir: str):
         .groupby("cohort")
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
     )
+
+
+def q_events_unpivot(sf_dir: str):
+    """Unpivot / melt (wide→long, the pivot's inverse): the per-cohort
+    wide count table explodes to (cohort, kind, n) rows map-side — a
+    pure per-batch reshape (numpy repeat/tile, |types|× the rows, no
+    shuffle beyond the pivot's own bounded aggregate), so zero-count
+    cells survive, unlike a GROUP BY over the raw events."""
+    wide = q_events_pivot(sf_dir)
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def melt(batch: pa.Table) -> pa.Table:
+        k = len(cols)
+        cohort = np.repeat(batch["cohort"].to_numpy(zero_copy_only=False), k)
+        kind = np.tile(np.array(cols, dtype=object), batch.num_rows)
+        n = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+        ).reshape(-1)
+        return pa.table(
+            {
+                "cohort": pa.array(cohort, type=pa.int64()),
+                "kind": pa.array(kind, type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- 8d
@@ -3421,6 +3583,30 @@ ORACLE_SQL: dict[str, str] = {
         "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "GROUP BY n.n_name"
     ),
+    "customer_urgent_left_join": (
+        "SELECT c.c_custkey AS custkey, c.c_name, "
+        "CAST(COALESCE(u.n_urgent, -1) AS BIGINT) AS n_urgent "
+        "FROM customer c LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_urgent "
+        "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u "
+        "ON c.c_custkey = u.o_custkey"
+    ),
+    "order_priority_full_join": (
+        "SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey, "
+        "CAST(COALESCE(u.n_urgent, -1) AS BIGINT) AS n_urgent, "
+        "CAST(COALESCE(l.n_low, -1) AS BIGINT) AS n_low "
+        "FROM (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u "
+        "FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_low FROM orders "
+        "WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey) l "
+        "ON u.o_custkey = l.o_custkey"
+    ),
+    "latest_order_per_customer": (
+        "SELECT o_custkey AS custkey, o_orderkey AS latest_okey, "
+        "o_orderdate AS latest_date FROM ("
+        "SELECT o_custkey, o_orderkey, o_orderdate, ROW_NUMBER() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC"
+        ") AS rn FROM orders) WHERE rn = 1"
+    ),
     "asof_prior_view": (
         "SELECT c.event_id, MAX(v.ts) AS prior_view_ts "
         "FROM events c LEFT JOIN events v "
@@ -3585,6 +3771,19 @@ ORACLE_SQL: dict[str, str] = {
             for t in EVENT_TYPES
         )
         + " FROM events GROUP BY 1"
+    ),
+    "events_unpivot": (
+        "WITH wide AS (SELECT CAST(user_id % 20 AS BIGINT) AS cohort, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{t}"
+            for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY 1) "
+        + " UNION ALL ".join(
+            f"SELECT cohort, 'n_{t}' AS kind, n_{t} AS n FROM wide"
+            for t in EVENT_TYPES
+        )
     ),
     "price_quantiles": (
         "SELECT l_returnflag, "
@@ -3868,8 +4067,12 @@ QUERIES = {
     "source_mixture": q_source_mixture,
     "customers_without_orders": q_customers_without_orders,
     "active_suppliers": q_active_suppliers,
+    "customer_urgent_left_join": q_customer_urgent_left_join,
+    "order_priority_full_join": q_order_priority_full_join,
+    "latest_order_per_customer": q_latest_order_per_customer,
     "event_gaps": q_event_gaps,
     "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
     "price_quantiles": q_price_quantiles,
     "revenue_rollup": q_revenue_rollup,
     "revenue_cube": q_revenue_cube,

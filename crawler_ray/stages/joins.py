@@ -73,11 +73,19 @@ def bucketed_hash_join(
     """Partitioned hash join on an integer key: one union + one
     co-grouping shuffle; each bucket merges with pandas.
 
-    Only ``how='inner'`` is supported: the empty-bucket early-out and
-    bucket-local merge would silently drop unmatched rows for
-    left/right/outer joins.  Note the union's schema-widening fills the
-    other side's columns with nulls, so pandas promotes int64 columns
-    to float64 inside a bucket — typed consumers must cast back.
+    ``how`` is ``'inner'``, ``'left'``, or ``'outer'`` (full).  The
+    outer modes are bucket-local-correct because bucketing is a
+    FUNCTION of the key: every row of a key, matched or not, lands in
+    exactly one bucket, so emitting that bucket's unmatched rows with
+    typed-null other-side columns loses nothing.  They REQUIRE both
+    declared schemas — null fill needs the other side's column types,
+    and the inner path's all-null-column heuristic cannot distinguish
+    "unmatched side" from "absent side".  Unmatched rows surface with
+    NULL (not 0/"") other-side columns, matching SQL LEFT/FULL JOIN.
+    Note the union's schema-widening fills the other side's columns
+    with nulls, so pandas promotes int64 columns to float64 inside a
+    bucket — the declared-schema path casts back; typed consumers of
+    the schemaless inner path must cast themselves.
 
     When both ``left_schema`` and ``right_schema`` are given (callers
     with map-side projections know them statically — deriving them here
@@ -86,8 +94,15 @@ def bucketed_hash_join(
     single-schema: no per-bundle schema-unification warnings, and
     Ray's block-schema dedup stays effective.
     """
-    if how != "inner":
-        raise ValueError(f"bucketed_hash_join supports how='inner' only, got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(
+            f"bucketed_hash_join supports how='inner'|'left'|'outer', got {how!r}"
+        )
+    if how != "inner" and (left_schema is None or right_schema is None):
+        raise ValueError(
+            f"bucketed_hash_join how={how!r} requires left_schema and "
+            "right_schema (typed null fill for unmatched rows)"
+        )
     if left_schema is not None and right_schema is not None:
         # fail fast: a non-key column on BOTH sides would get pandas
         # _x/_y suffixes from merge, so merged.select(out_schema.names)
@@ -139,8 +154,15 @@ def bucketed_hash_join(
         else:
             l = l.dropna(axis=1, how="all")
             r = r.dropna(axis=1, how="all")
-        if l.empty or r.empty:
+        if (
+            (how == "inner" and (l.empty or r.empty))
+            or (how == "left" and l.empty)
+            or (how == "outer" and l.empty and r.empty)
+        ):
             return out_schema.empty_table() if out_schema is not None else pa.table({})
+        # pandas merge handles an empty side for left/outer: the missing
+        # side's columns come back all-NaN, which from_pandas maps to
+        # nulls and the out_schema cast types correctly
         merged = table_from_pandas(l.merge(r, on=key, how=how))
         if out_schema is not None:
             merged = merged.select(out_schema.names).cast(out_schema)

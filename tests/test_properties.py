@@ -112,3 +112,46 @@ def test_bucketed_hash_join_matches_pandas_merge(ray_session, lk, rk):
         got[c] = got[c].astype("int64")
     got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lk=st.lists(st.integers(0, 30), min_size=0, max_size=60),
+    rk=st.lists(st.integers(0, 30), min_size=0, max_size=40),
+    how=st.sampled_from(["left", "outer"]),
+)
+def test_bucketed_outer_join_matches_pandas_merge(ray_session, lk, rk, how):
+    """LEFT/FULL OUTER bucketed joins must equal pandas merge for
+    arbitrary key multisets — including keys present on only one side
+    (null-filled other-side columns, surfaced from the key's bucket)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    ldf = pd.DataFrame({"k": pd.array(lk, dtype="int64"),
+                        "lv": pd.array(range(len(lk)), dtype="int64")})
+    rdf = pd.DataFrame({"k": pd.array(rk, dtype="int64"),
+                        "rv": pd.array(range(len(rk)), dtype="int64")})
+    expected = ldf.merge(rdf, on="k", how=how)
+
+    left = rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False))
+    right = rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False))
+    got = bucketed_hash_join(
+        left, right, key="k", n_buckets=7, how=how,
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+    ).to_pandas()
+    assert len(got) == len(expected)
+    if len(expected) == 0:
+        return
+    # nullable int64 → float64 for a NaN-tolerant value compare
+    def canon(df):
+        out = df.astype({c: "float64" for c in ("k", "lv", "rv")})
+        return (out.sort_values(["k", "lv", "rv"], na_position="last")
+                   .reset_index(drop=True))
+    g, e = canon(got), canon(expected)
+    for c in ("k", "lv", "rv"):
+        assert np.allclose(g[c].to_numpy(), e[c].to_numpy(), equal_nan=True), c
