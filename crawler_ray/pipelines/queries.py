@@ -3269,6 +3269,20 @@ def q_semantic_dedup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): select the 50 raw
+    docs (source != 'src0') whose hashed-n-gram distribution best
+    matches the in-corpus target domain 'src0', via Gumbel-top-k over
+    length-normalized log importance weights (deterministic md5
+    Gumbel keys).  Float log-weights → rows-only; exact ground truth
+    (naive full recompute, same numpy ops) in
+    tests/test_ground_truth.py."""
+    from crawler_ray.stages.dsir import dsir_select
+
+    ds = _doc(sf_dir, ["doc_id", "text", "source"])
+    return dsir_select(ds, target_source="src0", k=50, n_buckets=1024)
+
+
 def q_dedup_clusters(sf_dir: str):
     """End-to-end near-dup clustering: MinHash-LSH candidates →
     join-verified Jaccard ≥ 0.6 → join-based connected components →
@@ -4107,8 +4121,9 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "decontaminate": q_decontaminate,
     "duplicate_substrings": q_duplicate_substrings,
-    "semantic_dedup": q_semantic_dedup,
     # non-SQL-expressible (driver records rows-only checks)
+    "semantic_dedup": q_semantic_dedup,
+    "dsir_select": q_dsir_select,
     "kmeans_clusters": q_kmeans_clusters,
     "bigram_lm_score": q_bigram_lm_score,
     "training_pipeline": q_training_pipeline,

@@ -923,3 +923,56 @@ def test_semantic_dedup_ground_truth(ray_session):
         assert bool(row.loc[r.dup_of, "kept"])
         assert int(row.loc[r.dup_of, "cluster"]) == int(r.cluster)
         assert r.dup_of < r.vec_id
+
+
+def test_dsir_select_ground_truth(ray_session):
+    """Naive single-process DSIR recompute (same md5 bucket hashing,
+    same add-one smoothing, same deterministic Gumbel keys) must match
+    the engine's distributed histogram + partial-head path exactly:
+    same 50 doc ids in the same order, bit-equal log weights."""
+    from crawler_ray.pipelines.queries import q_dsir_select
+    from crawler_ray.stages.dsir import _doc_buckets, _gumbel_key
+
+    N_BUCKETS, K, TARGET = 1024, 50, "src0"
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    docs = t.to_pandas()
+
+    cache: dict = {}
+    tgt = np.zeros(N_BUCKETS, dtype=np.int64)
+    raw = np.zeros(N_BUCKETS, dtype=np.int64)
+    buckets = {}
+    for r in docs.itertuples(index=False):
+        b = _doc_buckets(r.text, N_BUCKETS, cache)
+        buckets[r.doc_id] = b
+        np.add.at(tgt if r.source == TARGET else raw, b, 1)
+    assert tgt.sum() > 0 and raw.sum() > 0
+
+    p = (tgt + 1.0) / (tgt.sum() + N_BUCKETS)
+    q = (raw + 1.0) / (raw.sum() + N_BUCKETS)
+    logw = np.log(p) - np.log(q)
+
+    rows = []
+    for r in docs.itertuples(index=False):
+        if r.source == TARGET:
+            continue
+        b = buckets[r.doc_id]
+        lw = float(logw[b].mean()) if len(b) else float(logw.mean())
+        rows.append((r.doc_id, r.source, lw, lw + _gumbel_key(r.doc_id)))
+    naive = (
+        pd.DataFrame(rows, columns=["id", "source", "logw", "gumbel_logw"])
+        .sort_values(["gumbel_logw", "id"], ascending=[False, True])
+        .head(K)
+        .reset_index(drop=True)
+    )
+
+    got = q_dsir_select(SF)
+    assert len(got) == K
+    pd.testing.assert_frame_equal(got, naive)
+    # no target-domain rows selected; selection is biased toward the
+    # target distribution vs a uniform draw (mean logw of selected set
+    # exceeds the raw-corpus mean logw)
+    assert (got["source"] != TARGET).all()
+    raw_mean = np.mean([r[2] for r in rows])
+    assert got["logw"].mean() > raw_mean
