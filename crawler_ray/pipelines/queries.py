@@ -21,6 +21,7 @@ partials.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -310,6 +311,121 @@ def q_lineitem_agg(sf_dir: str):
             Sum("sum_price_cents", alias_name="sum_price_cents"),
             Sum("n", alias_name="n"),
         )
+    )
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Grouped Pearson correlation corr(l_quantity, l_extendedprice)
+    per l_returnflag, from EXACT integer sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) — the textbook mergeable aggregate, so
+    one map-side combine per block and a |flags|-row shuffle.
+
+    Exactness is the whole design: price is integer cents and per-row
+    y² ≈ 1.1e14 would overflow an int64 SUM within a single 100k-row
+    batch, so Σy² / Σxy / Σy travel as TWO int64 limbs (hi = Σ(v>>32),
+    lo = Σ(v & 0xffffffff)) with a per-batch carry renormalization
+    (lo's overflow folded into hi after each combine).  That keeps
+    every shipped column exact in int64 up to ~2e9 blocks per group
+    (hi ≤ 2.6e9 per block partial); the driver reconstructs arbitrary-
+    precision Python ints from the ≤ |flags| final rows and evaluates
+    the correlation there — bit-identical to the DuckDB twin, which
+    computes the same integer sums in HUGEINT and the same final
+    double expression.  x stays single-limb: quantities are ≤ 50 whole
+    units, so Σx / Σx² fit int64 beyond 1e15 rows per group."""
+    ds = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    _MASK = (1 << 32) - 1
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sxx", pa.int64()),
+            ("sy_hi", pa.int64()),
+            ("sy_lo", pa.int64()),
+            ("sxy_hi", pa.int64()),
+            ("sxy_lo", pa.int64()),
+            ("syy_hi", pa.int64()),
+            ("syy_lo", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        y2 = y * y  # ≤ ~1.1e14 per row: fits int64 per ROW, not per sum
+        df2 = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "x": x,
+                "xx": x * x,
+                "y": y,
+                "xy": x * y,
+                # y² split per row BEFORE summing: a batch-level split
+                # would already have overflowed the batch sum
+                "y2_hi": y2 >> 32,
+                "y2_lo": y2 & _MASK,
+            }
+        )
+        g = df2.groupby("l_returnflag", as_index=False).agg(
+            n=("x", "size"),
+            sx=("x", "sum"),
+            sxx=("xx", "sum"),
+            sy=("y", "sum"),
+            sxy=("xy", "sum"),
+            syy_hi=("y2_hi", "sum"),
+            syy_lo=("y2_lo", "sum"),
+        )
+        # carry renormalization: fold each batch sum's high bits into
+        # the hi limb so the GLOBAL Sum of lo limbs stays < 2^32/block
+        for col, hi, lo in (("sy", "sy_hi", "sy_lo"), ("sxy", "sxy_hi", "sxy_lo")):
+            g[hi] = g[col].to_numpy() >> 32
+            g[lo] = g[col].to_numpy() & _MASK
+        carry = g["syy_lo"].to_numpy() >> 32
+        g["syy_hi"] = g["syy_hi"].to_numpy() + carry
+        g["syy_lo"] = g["syy_lo"].to_numpy() & _MASK
+        return table_from_pandas(
+            g[[f.name for f in partial_schema]]
+        ).cast(partial_schema)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)  # same narrow-shuffle rationale as q_lineitem_agg
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sy_hi", alias_name="sy_hi"),
+            Sum("sy_lo", alias_name="sy_lo"),
+            Sum("sxy_hi", alias_name="sxy_hi"),
+            Sum("sxy_lo", alias_name="sxy_lo"),
+            Sum("syy_hi", alias_name="syy_hi"),
+            Sum("syy_lo", alias_name="syy_lo"),
+        )
+        .to_pandas()  # ≤ |return flags| rows (3) by construction
+    )
+
+    rows = []
+    for r in agg.itertuples(index=False):
+        # arbitrary-precision reconstruction: int64 limbs → Python ints
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        sy = (int(r.sy_hi) << 32) + int(r.sy_lo)
+        sxy = (int(r.sxy_hi) << 32) + int(r.sxy_lo)
+        syy = (int(r.syy_hi) << 32) + int(r.syy_lo)
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = round(num / math.sqrt(float(vx) * float(vy)), 6)
+        rows.append((r.l_returnflag, n, corr))
+    return (
+        pd.DataFrame(rows, columns=["l_returnflag", "n", "corr_qty_price"])
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
     )
 
 
@@ -3699,6 +3815,21 @@ ORACLE_SQL: dict[str, str] = {
         f"WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}' "
         "GROUP BY l_returnflag, l_linestatus"
     ),
+    "lineitem_corr": (
+        # same exact-integer sufficient statistics as the engine
+        # (HUGEINT here, two int64 limbs there), then the SAME final
+        # double expression — identical operands, identical result
+        "WITH b AS (SELECT l_returnflag, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS x, "
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y FROM lineitem), "
+        "s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, "
+        "SUM(x*x) AS sxx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(y*y) AS syy "
+        "FROM b GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "ROUND((n*sxy - sx*sy) / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * "
+        "CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr_qty_price "
+        "FROM s ORDER BY l_returnflag"
+    ),
     "top_docs_by_tokens": (
         "SELECT doc_id, n_tokens FROM (SELECT doc_id, "
         "CAST(array_length(string_split_regex(trim(text, ' \t\n\r'), '\\s+')) AS BIGINT) "
@@ -4070,6 +4201,7 @@ QUERIES = {
     "native_join": q_native_join,
     "asof_prior_view": q_asof_prior_view,
     "lineitem_agg": q_lineitem_agg,
+    "lineitem_corr": q_lineitem_corr,
     "top_docs_by_tokens": q_top_docs_by_tokens,
     "group_topk": q_group_topk,
     "text_normalize": q_text_normalize,

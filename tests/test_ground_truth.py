@@ -976,3 +976,61 @@ def test_dsir_select_ground_truth(ray_session):
     assert (got["source"] != TARGET).all()
     raw_mean = np.mean([r[2] for r in rows])
     assert got["logw"].mean() > raw_mean
+
+
+def test_lineitem_corr_exact_past_int64(ray_session, tmp_path):
+    """The two-limb sufficient-statistic design must stay EXACT where a
+    naive int64 Σy² overflows: 90k rows at max-scale prices puts
+    Σy² ≈ 9.9e18 > 2^63-1.  Ground truth is arbitrary-precision Python
+    ints over the same rows."""
+    import math
+
+    import pyarrow as pa
+
+    from crawler_ray.pipelines.queries import q_lineitem_corr
+
+    rng = np.random.default_rng(7)
+    n = 300_000  # ≥ ~92k max-price rows per GROUP overflow int64 Σy²
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    # prices near the sf0.1 max (104999.91) so per-row y² ≈ 1.1e14
+    price = np.round(rng.uniform(95_000.0, 105_000.0, n), 2)
+    flag = np.where(np.arange(n) % 3 == 0, "A", "N")
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flag),
+                "l_quantity": pa.array(qty),
+                "l_extendedprice": pa.array(price),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    # exact recompute with unbounded ints
+    x = [int(v) for v in np.round(qty)]
+    y = [int(v) for v in np.round(price * 100)]
+    truth = {}
+    for f in ("A", "N"):
+        idx = [i for i in range(n) if flag[i] == f]
+        N = len(idx)
+        sx = sum(x[i] for i in idx)
+        sy = sum(y[i] for i in idx)
+        sxx = sum(x[i] * x[i] for i in idx)
+        syy = sum(y[i] * y[i] for i in idx)
+        sxy = sum(x[i] * y[i] for i in idx)
+        assert syy > 2**63 - 1, "fixture must overflow a naive int64 sum"
+        truth[f] = (
+            N,
+            round(
+                (N * sxy - sx * sy)
+                / math.sqrt(float(N * sxx - sx * sx) * float(N * syy - sy * sy)),
+                6,
+            ),
+        )
+
+    got = q_lineitem_corr(str(tmp_path))
+    assert list(got["l_returnflag"]) == ["A", "N"]
+    for r in got.itertuples(index=False):
+        tn, tc = truth[r.l_returnflag]
+        assert int(r.n) == tn
+        assert float(r.corr_qty_price) == tc  # bit-equal, not approx
