@@ -491,6 +491,54 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_user_event_deltas(sf_dir: str):
+    """LAG window function: per-user inter-event gap (µs) and value
+    delta, ordered by (ts, event_id) — the window-family member the
+    bounded histogram-rank path can't express (it needs the PREVIOUS
+    row's values, not a rank).  Same bounded-cardinality shuffle as
+    q_sessionize: 16 hash partitions, one vectorized pandas pass per
+    partition (sort + grouped shift), never a per-user map_groups
+    call.  First-event sentinels (-1 gap, 0.0 delta) keep the output
+    null-free for the dtype-strict oracle (COALESCE twin).  Epoch-µs
+    subtraction rides float64 through pandas shift — exact, because
+    epoch-µs values (~1.8e15) sit far below 2^53."""
+    ds = _read(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(16)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def deltas_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["ts_us"] = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gb = g.groupby("user_id", sort=False)
+        gap = (g["ts_us"] - gb["ts_us"].shift()).fillna(-1).astype(np.int64)
+        delta = (g["value"] - gb["value"].shift()).fillna(0.0)
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "gap_us": gap.to_numpy(),
+                "value_delta": delta.to_numpy(),
+            }
+        )
+        return table_from_pandas(out)
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(deltas_part, batch_format="pandas")
+    )
+
+
 # ----------------------------------------------------------------- 4b
 def q_quality_signals(sf_dir: str):
     """Quality-signal feature vector per document (length/punct/
@@ -4120,6 +4168,14 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND "
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM lagged GROUP BY user_id"
     ),
+    "user_event_deltas": (
+        "SELECT event_id, user_id, "
+        "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us, "
+        "COALESCE(value - LAG(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS value_delta "
+        "FROM events"
+    ),
     "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
     "source_profile": (
         "SELECT source, COUNT(DISTINCT lang) AS n_langs, "
@@ -4231,6 +4287,7 @@ QUERIES = {
     "nation_overlap": q_nation_overlap,
     "skew_join_docs": q_skew_join_docs,
     "sessionize": q_sessionize,
+    "user_event_deltas": q_user_event_deltas,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,
     "ann_topk": q_ann_topk,
