@@ -539,6 +539,54 @@ def q_user_event_deltas(sf_dir: str):
     )
 
 
+def q_user_rolling_avg(sf_dir: str):
+    """Rolling-frame window aggregate: 4-event moving average of value
+    (in cents) per user, ordered by (ts, event_id) — ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW.  Same 16-partition bounded shuffle as
+    q_user_event_deltas; the rolling sum is a grouped cumsum minus its
+    own 4-lag (two vectorized passes), NOT a per-user Python rolling()
+    call.  Sums are integer cents so the only float op is the final
+    ROUND(sum/n, 6), identical operands to the SQL twin."""
+    ds = _read(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(16)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def rolling_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["cents"] = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        gb = g.groupby("user_id", sort=False)
+        g["csum"] = gb["cents"].cumsum()
+        # rolling(4) sum = cumsum − cumsum 4 rows back (same user);
+        # float64 carries the lagged cumsum exactly (cents ≪ 2^53)
+        lag4 = g.groupby("user_id", sort=False)["csum"].shift(4).fillna(0)
+        rsum = g["csum"].to_numpy() - lag4.to_numpy()
+        n = np.minimum(gb.cumcount().to_numpy() + 1, 4)
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "avg4_cents": np.round(rsum / n, 6),
+            }
+        )
+        return table_from_pandas(out)
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(rolling_part, batch_format="pandas")
+    )
+
+
 # ----------------------------------------------------------------- 4b
 def q_quality_signals(sf_dir: str):
     """Quality-signal feature vector per document (length/punct/
@@ -4176,6 +4224,13 @@ ORACLE_SQL: dict[str, str] = {
         "(PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS value_delta "
         "FROM events"
     ),
+    "user_rolling_avg": (
+        "SELECT event_id, user_id, "
+        "ROUND(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w * 1.0 / "
+        "COUNT(*) OVER w, 6) AS avg4_cents FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    ),
     "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
     "source_profile": (
         "SELECT source, COUNT(DISTINCT lang) AS n_langs, "
@@ -4288,6 +4343,7 @@ QUERIES = {
     "skew_join_docs": q_skew_join_docs,
     "sessionize": q_sessionize,
     "user_event_deltas": q_user_event_deltas,
+    "user_rolling_avg": q_user_rolling_avg,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,
     "ann_topk": q_ann_topk,
