@@ -451,6 +451,16 @@ def q_top_docs_by_tokens(sf_dir: str):
 # ----------------------------------------------------------------- 10
 SESSION_GAP_S = 1800
 
+# Hash-partition fan-out for the per-key window family (sessionize,
+# LAG/rolling frames, arg-max).  The shuffle key is hash(key) % THIS,
+# never the raw key — the point is a BOUNDED partition count (no
+# per-user tiny groups, no key-cardinality shuffle).  16 sizes each
+# partition at corpus/16, right for the test SFs; a deployment sizes
+# it so one partition's rows fit a worker's heap (e.g. total_bytes /
+# 512 MiB, thousands on a 100 TB events table).  Results are
+# invariant to this value: partitions are unioned, never compared.
+WINDOW_HASH_PARTITIONS = 16
+
 
 def q_sessionize(sf_dir: str):
     """Session windows per user (gap > 30 min starts a new session).
@@ -471,7 +481,7 @@ def q_sessionize(sf_dir: str):
             pd.util.hash_array(
                 batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            % np.uint64(16)
+            % np.uint64(WINDOW_HASH_PARTITIONS)
         ).astype(np.int64)
         return batch.append_column("pkey", pa.array(pk))
 
@@ -492,16 +502,20 @@ def q_sessionize(sf_dir: str):
 
 
 def q_user_event_deltas(sf_dir: str):
-    """LAG window function: per-user inter-event gap (µs) and value
-    delta, ordered by (ts, event_id) — the window-family member the
-    bounded histogram-rank path can't express (it needs the PREVIOUS
-    row's values, not a rank).  Same bounded-cardinality shuffle as
-    q_sessionize: 16 hash partitions, one vectorized pandas pass per
-    partition (sort + grouped shift), never a per-user map_groups
-    call.  First-event sentinels (-1 gap, 0.0 delta) keep the output
-    null-free for the dtype-strict oracle (COALESCE twin).  Epoch-µs
-    subtraction rides float64 through pandas shift — exact, because
-    epoch-µs values (~1.8e15) sit far below 2^53."""
+    """Value-motion windows per user, ordered by (ts, event_id):
+    LAG delta (value vs the PREVIOUS event) and FIRST_VALUE baseline
+    (value vs the user's FIRST event) — the two frame anchors the
+    bounded histogram-rank path can't express (previous row /
+    partition head, not a rank).  Complements q_event_gaps, which is
+    the integer time-gap LAG; this one exercises LAG over a value
+    column plus the FIRST_VALUE anchor nothing else covers.  Same
+    bounded-cardinality shuffle as q_sessionize; per partition one
+    vectorized pandas pass (sort + grouped shift/transform-first),
+    never a per-user map_groups call.  First-event sentinel 0.0 keeps
+    the LAG column null-free for the dtype-strict oracle (COALESCE
+    twin); value-vs-first is naturally 0.0 on the first row.  Both
+    outputs are float subtractions on operands identical to the SQL
+    twin's — bit-equal."""
     ds = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
@@ -512,22 +526,21 @@ def q_user_event_deltas(sf_dir: str):
             pd.util.hash_array(
                 batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            % np.uint64(16)
+            % np.uint64(WINDOW_HASH_PARTITIONS)
         ).astype(np.int64)
         return batch.append_column("pkey", pa.array(pk))
 
     def deltas_part(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts", "event_id"])
-        g["ts_us"] = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         gb = g.groupby("user_id", sort=False)
-        gap = (g["ts_us"] - gb["ts_us"].shift()).fillna(-1).astype(np.int64)
         delta = (g["value"] - gb["value"].shift()).fillna(0.0)
+        vs_first = g["value"] - gb["value"].transform("first")
         out = pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "user_id": g["user_id"].to_numpy(),
-                "gap_us": gap.to_numpy(),
                 "value_delta": delta.to_numpy(),
+                "value_vs_first": vs_first.to_numpy(),
             }
         )
         return table_from_pandas(out)
@@ -540,13 +553,16 @@ def q_user_event_deltas(sf_dir: str):
 
 
 def q_user_rolling_avg(sf_dir: str):
-    """Rolling-frame window aggregate: 4-event moving average of value
+    """Rolling-frame window AVERAGE: 4-event moving average of value
     (in cents) per user, ordered by (ts, event_id) — ROWS BETWEEN 3
-    PRECEDING AND CURRENT ROW.  Same 16-partition bounded shuffle as
-    q_user_event_deltas; the rolling sum is a grouped cumsum minus its
-    own 4-lag (two vectorized passes), NOT a per-user Python rolling()
-    call.  Sums are integer cents so the only float op is the final
-    ROUND(sum/n, 6), identical operands to the SQL twin."""
+    PRECEDING AND CURRENT ROW.  Complements q_rolling_value_sum (the
+    3-event SUM via pandas groupby().rolling()) with the other
+    formulation of the same frame: grouped cumsum minus its own 4-lag
+    — two flat vectorized passes with no per-group rolling object,
+    which is the shape that stays cheap when a partition holds
+    millions of tiny user groups.  Same 16-partition bounded shuffle
+    as q_sessionize.  Sums are integer cents so the only float op is
+    the final ROUND(sum/n, 6), identical operands to the SQL twin."""
     ds = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
@@ -557,7 +573,7 @@ def q_user_rolling_avg(sf_dir: str):
             pd.util.hash_array(
                 batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            % np.uint64(16)
+            % np.uint64(WINDOW_HASH_PARTITIONS)
         ).astype(np.int64)
         return batch.append_column("pkey", pa.array(pk))
 
@@ -1338,7 +1354,7 @@ def q_latest_order_per_customer(sf_dir: str):
         df = keep_latest(batch.to_pandas())
         pk = (
             pd.util.hash_array(df["o_custkey"].to_numpy().astype(np.int64))
-            % np.uint64(16)
+            % np.uint64(WINDOW_HASH_PARTITIONS)
         ).astype(np.int64)
         return table_from_pandas(df.assign(pkey=pk))
 
@@ -1374,7 +1390,7 @@ def q_event_gaps(sf_dir: str):
             pd.util.hash_array(
                 batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            % np.uint64(16)
+            % np.uint64(WINDOW_HASH_PARTITIONS)
         ).astype(np.int64)
         return batch.append_column("pkey", pa.array(pk))
 
@@ -2938,7 +2954,7 @@ def q_rolling_value_sum(sf_dir: str):
             pd.util.hash_array(
                 batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            % np.uint64(16)
+            % np.uint64(WINDOW_HASH_PARTITIONS)
         ).astype(np.int64)
         return batch.append_column("pkey", pa.array(pk))
 
@@ -4218,11 +4234,9 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "user_event_deltas": (
         "SELECT event_id, user_id, "
-        "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us, "
-        "COALESCE(value - LAG(value) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS value_delta "
-        "FROM events"
+        "COALESCE(value - LAG(value) OVER w, 0.0) AS value_delta, "
+        "value - FIRST_VALUE(value) OVER w AS value_vs_first "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
     "user_rolling_avg": (
         "SELECT event_id, user_id, "
