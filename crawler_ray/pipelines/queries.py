@@ -603,6 +603,165 @@ def q_user_rolling_avg(sf_dir: str):
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(sf_dir: str):
+    """Ordered conversion funnel (sequential-pattern detection): how
+    many users performed view → click → purchase IN ORDER, each step
+    strictly after the user's FIRST qualifying event of the previous
+    step.  This is the event-sequence operator the window family can't
+    express (the predicate couples three different rows of the same
+    partition by inequality, not rank or offset).
+
+    Shape: pre-filter to the 3 funnel types at the read (cuts the
+    shuffle to 3/5 of events), hash-partition by user (a user's events
+    land in exactly one partition), ONE vectorized pandas pass per
+    step inside each partition (grouped min → merge → strict-after
+    mask → grouped min), partitions emit 3-row count partials and a
+    tiny grouped sum folds them — the driver never sees per-user rows,
+    so the state is O(partitions × 3) regardless of corpus size."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(list(FUNNEL_STEPS)))
+        )
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(WINDOW_HASH_PARTITIONS)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def funnel_part(g: pd.DataFrame) -> pa.Table:
+        t_prev = g[g["event_type"] == FUNNEL_STEPS[0]].groupby("user_id")["ts"].min()
+        counts = [len(t_prev)]
+        for step in FUNNEL_STEPS[1:]:
+            e = g[g["event_type"] == step]
+            # per-row lookup of the user's previous-step anchor; users
+            # who never reached it map to NaT and the strict > drops them
+            ok = e[e["ts"] > e["user_id"].map(t_prev).to_numpy()]
+            t_prev = ok.groupby("user_id")["ts"].min()
+            counts.append(len(t_prev))
+        return pa.table(
+            {
+                "step": pa.array([1, 2, 3], type=pa.int64()),
+                "event_type": pa.array(list(FUNNEL_STEPS), type=pa.string()),
+                "n_users": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(funnel_part, batch_format="pandas")
+        .groupby(["step", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def q_median_order_value(sf_dir: str):
+    """EXACT grouped median (not a sketch): median order value per
+    priority, interpolated for even group sizes exactly like SQL's
+    quantile_cont(0.5).  Third member of the two-pass histogram-rank
+    family, but with a twist the NTILE/DENSE_RANK/CUME_DIST members
+    don't need: the second pass reads ONLY the bucket(s) that contain
+    the two middle ranks — per group that is at most two value
+    buckets, so the driver-side collect is bounded by
+    2 × |groups| × max-bucket-population, never by rows.
+
+    1. per-batch partial counts over (priority, cents >> shift) value
+       buckets → tiny grouped sum; driver turns cumulative counts into
+       the target ranks k1=(n+1)//2, k2=(n+2)//2 and the bucket each
+       falls in (state ≤ |buckets| × |priorities|);
+    2. a second scan keeps only rows whose (priority, bucket) is a
+       target (broadcast set, ≤ 2 per group); the driver sorts each
+       target bucket's cents and reads the two middle ranks by offset.
+    Median = lo + 0.5·(hi − lo) on exact integer cents as doubles
+    (both ≤ 2^53, so the interpolation is exact and bit-equal to the
+    SQL twin), then one /100.0."""
+    path = f"{sf_dir}/orders.parquet"
+    shift = QUANTILE_BUCKET_SHIFT
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df["bucket"] = cents >> shift
+        g = df.groupby(["o_orderpriority", "bucket"], as_index=False).agg(
+            n=("bucket", "size")
+        )
+        return table_from_pandas(g)
+
+    hist = (
+        _read(path, columns=["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |buckets| × |priorities| rows by design
+        .sort_values(["o_orderpriority", "bucket"])
+        .reset_index(drop=True)
+    )
+    hist["cum"] = hist.groupby("o_orderpriority")["n"].cumsum()
+    hist["cum_before"] = hist["cum"] - hist["n"]
+    n_map = hist.groupby("o_orderpriority")["n"].sum().to_dict()
+
+    # which (priority, bucket) holds each middle rank — ≤ 2 per group
+    targets: set[tuple[str, int]] = set()
+    cum_before_map: dict[tuple[str, int], int] = {}
+    for prio, n in n_map.items():
+        sub = hist[hist["o_orderpriority"] == prio]
+        for k in ((n + 1) // 2, (n + 2) // 2):
+            row = sub[sub["cum"] >= k].iloc[0]
+            targets.add((prio, int(row["bucket"])))
+            cum_before_map[(prio, int(row["bucket"]))] = int(row["cum_before"])
+
+    def keep_targets(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        bucket = cents >> shift
+        mask = [
+            (p, int(b)) in targets
+            for p, b in zip(df["o_orderpriority"].to_numpy(), bucket)
+        ]
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"].to_numpy()[mask],
+                "bucket": bucket[mask],
+                "cents": cents[mask],
+            }
+        )
+        return table_from_pandas(out)
+
+    # bounded collect: only the ≤ 2 target buckets per priority survive
+    # the filter — ≈ 2 × |priorities| × (rows / |buckets|) rows
+    cand = (
+        _read(path, columns=["o_orderpriority", "o_totalprice"])
+        .map_batches(keep_targets, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    out_rows = []
+    for prio in sorted(n_map):
+        n = n_map[prio]
+        mids = []
+        for k in ((n + 1) // 2, (n + 2) // 2):
+            sub = hist[hist["o_orderpriority"] == prio]
+            b = int(sub[sub["cum"] >= k].iloc[0]["bucket"])
+            vals = np.sort(
+                cand[
+                    (cand["o_orderpriority"] == prio) & (cand["bucket"] == b)
+                ]["cents"].to_numpy()
+            )
+            mids.append(float(vals[k - cum_before_map[(prio, b)] - 1]))
+        lo, hi = mids
+        out_rows.append((prio, (lo + 0.5 * (hi - lo)) / 100.0))
+    return pd.DataFrame(
+        out_rows, columns=["o_orderpriority", "median_price"]
+    ).reset_index(drop=True)
+
+
 # ----------------------------------------------------------------- 4b
 def q_quality_signals(sf_dir: str):
     """Quality-signal feature vector per document (length/punct/
@@ -722,6 +881,7 @@ def q_vocab_topk(sf_dir: str):
         ).head(VOCAB_TOPK)
         return table_from_pandas(df)
 
+    # driver merge of partial heads: ≤ VOCAB_TOPK × n_blocks rows
     merged = summed.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     merged = (
         merged.sort_values(["n", "token"], ascending=[False, True])
@@ -769,6 +929,7 @@ def q_bigram_topk(sf_dir: str):
         ).head(BIGRAM_TOPK)
         return table_from_pandas(df)
 
+    # driver merge of partial heads: ≤ BIGRAM_TOPK × n_blocks rows
     merged = summed.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     merged = (
         merged.sort_values(["n", "bigram"], ascending=[False, True])
@@ -4245,6 +4406,28 @@ ORACLE_SQL: dict[str, str] = {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
     ),
+    "funnel_steps": (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type='view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN s1 ON e.user_id = s1.user_id "
+        "WHERE e.event_type='click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN s2 ON e.user_id = s2.user_id "
+        "WHERE e.event_type='purchase' AND e.ts > s2.t2 GROUP BY e.user_id) "
+        "SELECT * FROM ("
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, "
+        "(SELECT count(*) FROM s1) AS n_users "
+        "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+        "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"
+        ") ORDER BY step"
+    ),
+    "median_order_value": (
+        "SELECT o_orderpriority, "
+        "median(CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 "
+        "AS median_price FROM orders GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority"
+    ),
     "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
     "source_profile": (
         "SELECT source, COUNT(DISTINCT lang) AS n_langs, "
@@ -4358,6 +4541,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "user_event_deltas": q_user_event_deltas,
     "user_rolling_avg": q_user_rolling_avg,
+    "funnel_steps": q_funnel_steps,
+    "median_order_value": q_median_order_value,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,
     "ann_topk": q_ann_topk,

@@ -1034,3 +1034,109 @@ def test_lineitem_corr_exact_past_int64(ray_session, tmp_path):
         tn, tc = truth[r.l_returnflag]
         assert int(r.n) == tn
         assert float(r.corr_qty_price) == tc  # bit-equal, not approx
+
+
+def test_funnel_steps_ground_truth(ray_session, tmp_path):
+    """Funnel ordering semantics the sf events can't falsify in
+    isolation: a click BEFORE the first view must not count, a
+    same-timestamp click is NOT strictly after the view, a purchase
+    before the qualifying click must not count, and a user with no
+    view contributes to no step.  Engine vs hand truth vs the DuckDB
+    oracle twin on the same table."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import ORACLE_SQL, q_funnel_steps
+
+    T = pd.Timestamp("2025-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, T, "view"), (1, T + s, "click"), (1, T + 2 * s, "purchase"),
+        # user 2: click strictly BEFORE the first view -> step 1 only
+        (2, T, "click"), (2, T + s, "view"),
+        # user 3: view then click, no purchase -> steps 1-2
+        (3, T, "view"), (3, T + s, "click"),
+        # user 4: purchase BEFORE the qualifying click -> steps 1-2
+        (4, T, "purchase"), (4, T + s, "view"), (4, T + 2 * s, "click"),
+        # user 5: no view at all -> no steps
+        (5, T, "click"), (5, T + s, "purchase"),
+        # user 6: click at the SAME ts as the view -> not strictly after
+        (6, T, "view"), (6, T, "click"),
+        # noise event type: ignored entirely
+        (1, T, "error"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["event_id"] = np.arange(len(pdf), dtype=np.int64)
+    pdf["value"] = 1.0
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    got = (
+        q_funnel_steps(str(tmp_path))
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert list(got["event_type"]) == ["view", "click", "purchase"]
+    # steps: view={1,2,3,4,6}, click-after-view={1,3,4}, purchase={1}
+    assert list(got["n_users"]) == [5, 3, 1]
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = con.execute(ORACLE_SQL["funnel_steps"]).df()
+    assert list(oracle["n_users"].astype(int)) == list(got["n_users"].astype(int))
+
+
+def test_median_order_value_ground_truth(ray_session, tmp_path):
+    """Exact-median edge cases the sf orders can't isolate: an EVEN
+    group whose two middle ranks land in DIFFERENT histogram buckets
+    (the targeted second pass must fetch both), an odd group, and a
+    duplicate-heavy group where the median value repeats.  Bit-equal
+    vs numpy interpolation and the DuckDB quantile_cont twin."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import (
+        ORACLE_SQL,
+        QUANTILE_BUCKET_SHIFT,
+        q_median_order_value,
+    )
+
+    w = 1 << QUANTILE_BUCKET_SHIFT  # bucket width in cents
+    groups = {
+        # even n; middles straddle a bucket boundary: w-1 and w cents
+        "1-URGENT": [0.01, (w - 1) / 100.0, w / 100.0, (3 * w) / 100.0],
+        # odd n inside one bucket
+        "2-HIGH": [5.00, 7.00, 11.00],
+        # duplicate-heavy even group: median value repeats
+        "3-MEDIUM": [2.00, 2.00, 2.00, 9.00],
+    }
+    rows = []
+    for prio, vals in groups.items():
+        for v in vals:
+            rows.append((len(rows) + 1, prio, v))
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pdf.to_parquet(tmp_path / "orders.parquet")
+
+    got = q_median_order_value(str(tmp_path))
+    truth = {
+        p: float(np.median(np.round(np.array(v) * 100).astype(np.int64))) / 100.0
+        for p, v in groups.items()
+    }
+    assert list(got["o_orderpriority"]) == sorted(groups)
+    for r in got.itertuples(index=False):
+        assert float(r.median_price) == truth[r.o_orderpriority]  # bit-equal
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    oracle = con.execute(ORACLE_SQL["median_order_value"]).df()
+    assert list(oracle["median_price"]) == [
+        float(r.median_price) for r in got.itertuples(index=False)
+    ]
