@@ -662,6 +662,72 @@ def q_funnel_steps(sf_dir: str):
     )
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix: users grouped by the ISO week of their
+    FIRST event (the cohort), counted in every week they were active —
+    the classic growth-analytics operator.  A per-user global property
+    (cohort = min over ALL the user's events) feeds a per-(cohort,
+    week) distinct count, which is exactly the shape the user-hash
+    partition family handles: a user's events land in one partition,
+    so the per-user min and the per-user distinct weeks are exact
+    partition-locally and the partials ADD — one bounded shuffle, a
+    tiny (weeks² upper-triangle) grouped sum, no corpus-wide distinct.
+
+    Week truncation is Monday 00:00 (DuckDB date_trunc('week')
+    semantics), kept in [us] so the dtype-strict oracle sees identical
+    columns."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(WINDOW_HASH_PARTITIONS)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def cohort_part(g: pd.DataFrame) -> pa.Table:
+        wk = (
+            g["ts"].dt.normalize() - pd.to_timedelta(g["ts"].dt.weekday, unit="D")
+        ).astype("datetime64[us]")
+        pairs = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "week": wk.to_numpy()}
+        ).drop_duplicates()
+        cohort = pairs.groupby("user_id")["week"].min()
+        pairs["cohort_week"] = pairs["user_id"].map(cohort).to_numpy()
+        out = pairs.groupby(["cohort_week", "week"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    out["cohort_week"].to_numpy(), type=pa.timestamp("us")
+                ),
+                "week": pa.array(out["week"].to_numpy(), type=pa.timestamp("us")),
+                "n_users": pa.array(out["n_users"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(cohort_part, batch_format="pandas")
+        .groupby(["cohort_week", "week"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        # the groupby shuffle downcasts week-aligned timestamps; restore
+        # [us] to match DuckDB's .df() output dtype exactly
+        for col in ("cohort_week", "week"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(i, col, batch[col].cast(pa.timestamp("us")))
+        return batch
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")
+
+
 def q_median_order_value(sf_dir: str):
     """EXACT grouped median (not a sketch): median order value per
     priority, interpolated for even group sizes exactly like SQL's
@@ -4422,6 +4488,15 @@ ORACLE_SQL: dict[str, str] = {
         "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"
         ") ORDER BY step"
     ),
+    "cohort_retention": (
+        "WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week "
+        "FROM events GROUP BY user_id), "
+        "aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week "
+        "FROM events) "
+        "SELECT f.cohort_week, a.week, count(*) AS n_users "
+        "FROM fw f JOIN aw a ON f.user_id = a.user_id "
+        "GROUP BY f.cohort_week, a.week ORDER BY f.cohort_week, a.week"
+    ),
     "median_order_value": (
         "SELECT o_orderpriority, "
         "median(CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 "
@@ -4542,6 +4617,7 @@ QUERIES = {
     "user_event_deltas": q_user_event_deltas,
     "user_rolling_avg": q_user_rolling_avg,
     "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     "median_order_value": q_median_order_value,
     "distinct_sources": q_distinct_sources,
     "packet_projection": q_packet_projection,

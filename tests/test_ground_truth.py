@@ -1140,3 +1140,61 @@ def test_median_order_value_ground_truth(ray_session, tmp_path):
     assert list(oracle["median_price"]) == [
         float(r.median_price) for r in got.itertuples(index=False)
     ]
+
+
+def test_cohort_retention_ground_truth(ray_session, tmp_path):
+    """Cohort semantics on a constructed table: cohorts anchored to
+    Monday truncation (a Sunday-starting user belongs to the PRIOR
+    Monday's week), multiple events in one week count the user once,
+    and a user's cohort is the week of their FIRST event even when
+    most activity is later.  Engine vs hand truth vs the DuckDB twin."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import ORACLE_SQL, q_cohort_retention
+
+    mon = pd.Timestamp("2025-01-06")  # a Monday
+    wk = pd.Timedelta(days=7)
+    rows = [
+        # user 1: cohort week 0, active weeks 0, 1, 2 (twice in week 1)
+        (1, mon), (1, mon + wk), (1, mon + wk + pd.Timedelta(days=2)),
+        (1, mon + 2 * wk),
+        # user 2: FIRST event Sunday 23:59 of week 0 -> cohort week 0
+        (2, mon + pd.Timedelta(days=6, hours=23, minutes=59)), (2, mon + wk),
+        # user 3: cohort week 1 only
+        (3, mon + wk + pd.Timedelta(days=3)),
+        # user 4: cohort week 0, then gap, active again week 2
+        (4, mon + pd.Timedelta(days=1)), (4, mon + 2 * wk),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["event_id"] = np.arange(len(pdf), dtype=np.int64)
+    pdf["event_type"] = "view"
+    pdf["value"] = 1.0
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    got = (
+        q_cohort_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "week"])
+        .reset_index(drop=True)
+    )
+    w0, w1, w2 = mon, mon + wk, mon + 2 * wk
+    truth = {
+        (w0, w0): 3,  # users 1, 2, 4
+        (w0, w1): 2,  # users 1, 2
+        (w0, w2): 2,  # users 1, 4
+        (w1, w1): 1,  # user 3
+    }
+    assert len(got) == len(truth)
+    for r in got.itertuples(index=False):
+        assert truth[(r.cohort_week, r.week)] == int(r.n_users)
+    assert str(got["cohort_week"].dtype) == "datetime64[us]"
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = con.execute(ORACLE_SQL["cohort_retention"]).df()
+    assert list(oracle["n_users"].astype(int)) == list(got["n_users"].astype(int))
