@@ -3948,6 +3948,29 @@ def q_media_features(sf_dir: str):
     return ipd.merge(apd, on="media_ref").sort_values("media_ref").reset_index(drop=True)
 
 
+def q_link_pagerank(sf_dir: str):
+    """PageRank over the synthetic web's crawlable link graph (the
+    deterministic F-fixture graph, like q_interleaved_spans — the sf
+    tables carry no edge list).  Rows-only entry: iterative algorithms
+    are the documented non-SQL-expressible category; correctness is
+    pinned by the power-iteration ground-truth test
+    (tests/test_ground_truth.py::test_pagerank_ground_truth).
+
+    Scale shape (stages/graph.py): the edge table is only ever
+    map_batches'd — never reshuffled; node-scale rank/degree state is
+    numpy under an explicit byte budget that RAISES with the bucketed
+    co-group guidance when exceeded."""
+    import ray.data as _rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.graph import pagerank
+
+    web = demo_web(n_sites=4, n_pages=200, seed=42)
+    edges = link_edges(web)
+    n_nodes = sum(s.n_pages for s in web.sites.values())
+    return pagerank(_rd.from_arrow(edges), n_nodes, alpha=0.85, n_iter=20)
+
+
 def q_interleaved_spans(sf_dir: str):
     """The input_hint interleaved table end-to-end: deterministic F3
     fixture → per-doc span stats + delimiter-string round-trip check
@@ -4662,4 +4685,5 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "quantized_embeddings": q_quantized_embeddings,
     "interleaved_spans": q_interleaved_spans,
+    "link_pagerank": q_link_pagerank,
 }

@@ -315,3 +315,52 @@ def interleaved_documents(n_docs: int = 200, seed: int = 42) -> pa.Table:
     return pa.table(
         {"doc_id": pa.array(doc_ids, type=pa.string()), "spans": spans_array(span_rows)}
     )
+
+
+def link_edges(web: SyntheticWeb) -> pa.Table:
+    """Deterministic (src, dst) edge table of the synthetic web's
+    crawlable link graph with DENSE int64 node ids (host-offset +
+    page id — the shape ``stages/graph.pagerank`` requires).
+
+    Edges are the page-to-page links a crawler would follow: same-host
+    child links (duplicates collapsed, as the frontier's first-seen
+    dedup would) and cross-host links; fragments, javascript:, nav,
+    viewer and attachment links are not nodes of the page graph.
+    """
+    hosts = sorted(web.sites)
+    base: dict[str, int] = {}
+    off = 0
+    for h in hosts:
+        base[h] = off
+        off += web.sites[h].n_pages
+    src_l: list[int] = []
+    dst_l: list[int] = []
+    for h in hosts:
+        spec = web.sites[h]
+        for p in range(spec.n_pages):
+            seen: set[int] = set()
+            for href, _ in web._links(spec, p):
+                if "#" in href or href.startswith("javascript:"):
+                    continue
+                try:
+                    tail = href.split("://", 1)[1]
+                except IndexError:
+                    continue
+                link_host = tail.split("/", 1)[0]
+                if link_host not in web.sites:
+                    continue
+                pid = web._page_id(href)
+                if pid is None or not (0 <= pid < web.sites[link_host].n_pages):
+                    continue
+                nid = base[link_host] + pid
+                if nid in seen:
+                    continue
+                seen.add(nid)
+                src_l.append(base[h] + p)
+                dst_l.append(nid)
+    return pa.table(
+        {
+            "src": pa.array(src_l, type=pa.int64()),
+            "dst": pa.array(dst_l, type=pa.int64()),
+        }
+    )

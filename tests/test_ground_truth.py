@@ -1198,3 +1198,50 @@ def test_cohort_retention_ground_truth(ray_session, tmp_path):
     )
     oracle = con.execute(ORACLE_SQL["cohort_retention"]).df()
     assert list(oracle["n_users"].astype(int)) == list(got["n_users"].astype(int))
+
+
+def test_pagerank_ground_truth(ray_session):
+    """PageRank vs a single-process numpy power iteration with the
+    identical formula (damping 0.85, uniform dangling redistribution,
+    same iteration count) on the same deterministic link graph.
+    Checks mass conservation and that ranks agree to float-sum
+    reordering tolerance (the engine sums per-block partials in a
+    different order, so bit-equality is not the contract here)."""
+    import ray.data as rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.graph import pagerank
+
+    web = demo_web(n_sites=3, n_pages=80, seed=7)
+    edges = link_edges(web)
+    n = sum(s.n_pages for s in web.sites.values())
+
+    got = pagerank(rd.from_arrow(edges), n, alpha=0.85, n_iter=20)
+    assert list(got["node"]) == list(range(n))
+    assert abs(float(got["rank"].sum()) - 1.0) < 1e-9  # stochastic
+
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        w = r * inv
+        contrib = np.bincount(dst, weights=w[src], minlength=n)
+        r = (1 - 0.85) / n + 0.85 * (contrib + r[deg == 0].sum() / n)
+    assert np.allclose(got["rank"].to_numpy(), r, rtol=1e-9, atol=1e-12)
+    # the graph must actually differentiate nodes for this to mean much
+    assert got["rank"].nunique() > n // 2
+
+
+def test_pagerank_budget_raise(ray_session):
+    """Over-budget node state must RAISE with the co-group guidance,
+    never fall back to a silent driver-side O(N)."""
+    import pytest
+    import ray.data as rd
+
+    from crawler_ray.stages.graph import pagerank
+
+    edges = rd.from_items([{"src": 0, "dst": 1}])
+    with pytest.raises(ValueError, match="bucketed co-group"):
+        pagerank(edges, n_nodes=10**9, budget_bytes=1 << 20)
