@@ -4023,6 +4023,448 @@ def q_language_id(sf_dir: str):
     return ds.map_batches(pred, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------- 21a
+# Multi-way join chains + classic warehouse shapes (round 5 widening).
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1995-01-01"
+Q5_DATE_HI = "1996-01-01"
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation, restricted to one region and one order-date year
+    — a FOUR-way large-table join chain (lineitem ⋈ orders ⋈ customer
+    ⋈ supplier) on Ray Data's native hash-partitioned joins, with the
+    two dimension tables (nation, region — ≤ 25 / 5 rows by schema)
+    read driver-side and applied as read-time key filters.
+
+    Scale notes: every fact read is column-pruned and the date / nation
+    predicates are pushed into the parquet scan; the joins hash-
+    partition on their keys (no broadcast of a large side anywhere);
+    revenue is exact-integer `cents × (100 − discount%)` computed
+    MAP-SIDE before the widest join so the lineitem side ships two
+    ints, and the grouped sum is order-independent and bit-equal to
+    the SQL twin.  The chain uses the repo's sort-shuffle
+    ``bucketed_hash_join`` rather than three concurrent native hash
+    joins: each native join's aggregator pool reserves ~50% of cluster
+    CPUs in long-lived actors, so three in one streaming plan deadlock
+    on small CPU budgets (and fight each other on any budget), while
+    the sort-shuffle joins are plain all-to-alls with no standing
+    reservation."""
+    import pyarrow.parquet as _pq
+
+    reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pandas()  # ≤ 5 rows
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # ≤ 25 rows
+    rkey = int(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"].iloc[0])
+    nmap = {
+        int(k): str(v)
+        for k, v, r in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
+        if int(r) == rkey
+    }
+    nation_keys = sorted(nmap)
+
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+    cust = _read(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nation_keys),
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"], type=pa.int64()),
+                "l_suppkey": pa.array(df["l_suppkey"], type=pa.int64()),
+                "revenue_milli": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_project, batch_format="pyarrow")
+    sup = _read(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(nation_keys),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
+        batch_format="pyarrow",
+    )
+
+    i64 = pa.int64()
+    oc = bucketed_hash_join(
+        orders,
+        cust,
+        key="o_custkey",
+        left_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64)]),
+        right_schema=pa.schema([("o_custkey", i64), ("c_nationkey", i64)]),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]).rename_columns(
+            ["l_orderkey", "c_nationkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    lioc = bucketed_hash_join(
+        li,
+        oc,
+        key="l_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", i64), ("l_suppkey", i64), ("revenue_milli", i64)]
+        ),
+        right_schema=pa.schema([("l_orderkey", i64), ("c_nationkey", i64)]),
+    )
+    full = bucketed_hash_join(
+        lioc,
+        sup,
+        key="l_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", i64),
+                ("l_suppkey", i64),
+                ("revenue_milli", i64),
+                ("c_nationkey", i64),
+            ]
+        ),
+        right_schema=pa.schema([("l_suppkey", i64), ("s_nationkey", i64)]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        g = df.groupby("s_nationkey", as_index=False).agg(
+            n_items=("revenue_milli", "size"), revenue_milli=("revenue_milli", "sum")
+        )
+        # explicit schema: an all-filtered batch otherwise yields a
+        # column-less empty block that trips schema unification
+        return pa.table(
+            {
+                "s_nationkey": pa.array(g["s_nationkey"], type=pa.int64()),
+                "n_items": pa.array(g["n_items"], type=pa.int64()),
+                "revenue_milli": pa.array(g["revenue_milli"], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        full.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_milli", alias_name="revenue_milli"),
+        )
+        .to_pandas()  # ≤ |nations in region| rows by construction
+    )
+    agg["n_name"] = agg["s_nationkey"].map(nmap)
+    return agg[["n_name", "n_items", "revenue_milli"]]
+
+
+LARGE_VOLUME_QTY = 300
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape (grouped HAVING, then join the survivors back):
+    orders whose total lineitem quantity exceeds LARGE_VOLUME_QTY, with
+    the buyer's name.  The HAVING survivors are the join side — by
+    construction a vanishing fraction of orders (the threshold sits
+    near the max basket sum: 46 of 150k orders at sf0.01), so they are
+    collected driver-side (bounded by threshold selectivity, the
+    documented invariant) and pushed back into BOTH fact reads as
+    key-IN filters — the second pass scans prune at the parquet layer
+    instead of shuffling anything."""
+    li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty"] = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        g = df.groupby("l_orderkey", as_index=False).agg(qty=("qty", "sum"))
+        return table_from_pandas(g)
+
+    sums = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.field("total_qty") > LARGE_VOLUME_QTY),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: HAVING survivors only (threshold selectivity)
+    )
+    if sums.empty:
+        return pd.DataFrame(
+            columns=["custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"]
+        )
+    okeys = [int(k) for k in sums["l_orderkey"]]
+    orders = (
+        _read(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pc.field("o_orderkey").isin(okeys),
+        ).to_pandas()  # ≤ |survivors| rows by the read filter
+    )
+    merged = orders.merge(sums, left_on="o_orderkey", right_on="l_orderkey")
+    ckeys = sorted({int(c) for c in merged["o_custkey"]})
+    cust = (
+        _read(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(ckeys),
+        ).to_pandas()  # ≤ |survivors| rows by the read filter
+    )
+    out = merged.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.rename(columns={"c_custkey": "custkey"})
+    out["total_qty"] = out["total_qty"].astype(np.int64)
+    return out[["custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"]]
+
+
+BASKET_TOPK = 20
+BASKET_PARTITIONS = 64
+BASKET_MAX_PARTS = 128  # raise-never-cap guard on per-order basket width
+
+
+def q_market_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: the BASKET_TOPK most frequent part
+    PAIRS appearing together in an order (the classic self-join that
+    explodes quadratically if done naively).  Scale shape: baskets
+    co-locate by ``l_orderkey % BASKET_PARTITIONS`` (an order lives in
+    exactly one partition, so pair generation is partition-local);
+    within a partition, orders are grouped by basket size k and pairs
+    for ALL same-size baskets are emitted in one `np.triu_indices`
+    matrix op (no per-order Python loop); per-partition pair counts are
+    map-side partials, so the only all-to-all carries (pair, count)
+    partials, never raw pairs.  A basket wider than BASKET_MAX_PARTS
+    RAISES (k² blowup is a data bug, not a silent cap — the repo's
+    raise-never-cap rule)."""
+    ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(["l_orderkey", "l_partkey"])
+        df["pkey"] = (df["l_orderkey"] % BASKET_PARTITIONS).astype(np.int64)
+        return table_from_pandas(df)
+
+    def gen_pairs(g: pd.DataFrame) -> pa.Table:
+        df = g.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"]
+        )
+        codes, _ = pd.factorize(df["l_orderkey"].to_numpy())
+        counts = np.bincount(codes)
+        parts = df["l_partkey"].to_numpy()
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        p1s, p2s = [], []
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            if k > BASKET_MAX_PARTS:
+                raise ValueError(
+                    f"basket with {k} distinct parts exceeds BASKET_MAX_PARTS="
+                    f"{BASKET_MAX_PARTS}: pair generation is O(k²) — raise the "
+                    "bound deliberately or pre-filter pathological orders"
+                )
+            idx = np.where(counts == k)[0]
+            starts = offsets[idx]
+            mat = parts[starts[:, None] + np.arange(k)[None, :]]  # rows ascending
+            iu, ju = np.triu_indices(k, 1)
+            p1s.append(mat[:, iu].ravel())
+            p2s.append(mat[:, ju].ravel())
+        if not p1s:
+            return pa.table(
+                {
+                    "p1": pa.array([], type=pa.int64()),
+                    "p2": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        pairs = pd.DataFrame(
+            {"p1": np.concatenate(p1s), "p2": np.concatenate(p2s)}
+        )
+        out = pairs.groupby(["p1", "p2"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        return table_from_pandas(out)
+
+    counts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .groupby(["p1", "p2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "p1", "p2"], ascending=[False, True, True]
+        )
+        return table_from_pandas(df.head(BASKET_TOPK))
+
+    merged = counts.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    # driver merge bounded: ≤ BASKET_TOPK rows per block reach here
+    merged = merged.sort_values(["n", "p1", "p2"], ascending=[False, True, True])
+    return merged.head(BASKET_TOPK).reset_index(drop=True)
+
+
+TOP_EVENT_PARTITIONS = 256
+
+
+def q_user_top_event(sf_dir: str):
+    """Mode per group (most frequent event_type per user, lexicographic
+    tiebreak) — the grouped-argmax twin of ``ROW_NUMBER() OVER
+    (PARTITION BY user ORDER BY cnt DESC, type) = 1``.  Map-side
+    partial counts shrink the shuffle to the (user, type) count table
+    (≤ users × |event types| rows); the argmax pass co-locates by
+    ``hash(user) % TOP_EVENT_PARTITIONS`` so no pandas group ever holds
+    one user per group (billions of tiny groups) nor one giant group —
+    the partition is the unit, and first-per-user is one vectorized
+    sort + drop_duplicates inside it."""
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return table_from_pandas(g)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["pkey"] = (df["user_id"] % TOP_EVENT_PARTITIONS).astype(np.int64)
+        return table_from_pandas(df)
+
+    def argmax(g: pd.DataFrame) -> pa.Table:
+        top = (
+            g.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+            .drop_duplicates("user_id")
+            .rename(columns={"event_type": "top_event"})
+        )
+        return table_from_pandas(top[["user_id", "top_event", "n"]])
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(argmax, batch_format="pandas")
+    )
+
+
+POSTINGS_K = 20
+POSTINGS_PARTITIONS = 256
+
+
+def q_posting_lists(sf_dir: str):
+    """Inverted-index build: per token, the document frequency and the
+    posting list of the first POSTINGS_K doc_ids (ascending).  The
+    explode emits DISTINCT (token, doc) pairs per document map-side (a
+    doc contributes each token once regardless of term frequency), so
+    the one all-to-all ships exactly the index entries; tokens co-locate
+    by ``hash(token) % POSTINGS_PARTITIONS`` — a partition holds many
+    whole tokens, and df/postings are computed per token with one sort
+    + segment pass.  Posting lists are BOUNDED at POSTINGS_K (full df is
+    still exact) so a stopword's group cannot materialize a corpus-sized
+    list — the standard truncated-postings discipline."""
+    docs = _doc(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for tok in set(_VOCAB_TOKEN.findall((t or "").lower())):
+                ids.append(d)
+                toks.append(tok)
+        out = pd.DataFrame({"token": toks, "doc_id": ids})
+        out["pkey"] = pd.util.hash_array(
+            out["token"].to_numpy(dtype=object)
+        ).astype(np.int64) % POSTINGS_PARTITIONS
+        return table_from_pandas(out)
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        df = g.sort_values(["token", "doc_id"])
+        tokens, dfreq, postings = [], [], []
+        for tok, sub in df.groupby("token", sort=False):
+            ids = sub["doc_id"].to_numpy()
+            tokens.append(tok)
+            dfreq.append(len(ids))
+            postings.append(",".join(str(int(i)) for i in ids[:POSTINGS_K]))
+        return pa.table(
+            {
+                "token": pa.array(tokens, type=pa.string()),
+                "df": pa.array(dfreq, type=pa.int64()),
+                "postings": pa.array(postings, type=pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def q_parts_above_brand_avg(sf_dir: str):
+    """Correlated-subquery shape (`price > AVG(price) per brand`) as
+    two passes: exact integer per-brand sums → one double division →
+    broadcast the ≤ |brands| avg map → vectorized filter.  The
+    broadcast side is bounded by brand cardinality (25), never rows."""
+    path = f"{sf_dir}/part.parquet"
+    cols = ["p_partkey", "p_brand", "p_retailprice"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.round(df["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("p_brand", as_index=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")
+        )
+        return table_from_pandas(g)
+
+    sums = (
+        _read(path, columns=["p_brand", "p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |brands| rows by construction
+    )
+    avg_map = {
+        str(b): float(c) / float(n)
+        for b, c, n in zip(sums["p_brand"], sums["cents"], sums["n"])
+    }
+    avg_ref = ray.put(avg_map)
+
+    def above(batch: pa.Table) -> pa.Table:
+        amap = ray.get(avg_ref)
+        df = batch.to_pandas()
+        cents = np.round(df["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        thr = df["p_brand"].map(amap).to_numpy(dtype=np.float64)
+        keep = cents > thr
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    df["p_partkey"].to_numpy()[keep], type=pa.int64()
+                ),
+                "p_brand": pa.array(
+                    df["p_brand"].to_numpy()[keep], type=pa.string()
+                ),
+                "retail_cents": pa.array(cents[keep], type=pa.int64()),
+            }
+        )
+
+    return _read(path, columns=cols).map_batches(above, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -4063,6 +4505,65 @@ FROM documents
 _URL_EXPR = _derived_url_expr_sql()
 
 ORACLE_SQL: dict[str, str] = {
+    "local_supplier_volume": (
+        "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT)"
+        " AS revenue_milli "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        f"WHERE r.r_name = '{Q5_REGION}' "
+        "AND c.c_nationkey = s.s_nationkey "
+        f"AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}' "
+        f"AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}' "
+        "GROUP BY n.n_name"
+    ),
+    "large_volume_customers": (
+        "SELECT c.c_custkey AS custkey, c.c_name, o.o_orderkey, "
+        "o.o_orderdate, t.total_qty "
+        "FROM (SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))"
+        " AS BIGINT) AS total_qty FROM lineitem GROUP BY l_orderkey "
+        f"HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {LARGE_VOLUME_QTY}) t "
+        "JOIN orders o ON o.o_orderkey = t.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey"
+    ),
+    "market_basket_pairs": (
+        "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+        "SELECT a.l_partkey AS p1, c.l_partkey AS p2, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey "
+        "AND a.l_partkey < c.l_partkey "
+        f"GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT {BASKET_TOPK}"
+    ),
+    "user_top_event": (
+        "SELECT user_id, event_type AS top_event, n FROM ("
+        "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY COUNT(*) DESC, event_type) AS rn "
+        "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+    ),
+    "posting_lists": (
+        "WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all("
+        "lower(text), '[a-z0-9_]+')) AS token FROM documents), "
+        "ranked AS (SELECT token, doc_id, "
+        "ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY token) AS df FROM tok) "
+        "SELECT token, CAST(MAX(df) AS BIGINT) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+        f"FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY token"
+    ),
+    "parts_above_brand_avg": (
+        "SELECT p.p_partkey, p.p_brand, "
+        "CAST(ROUND(p.p_retailprice*100) AS BIGINT) AS retail_cents "
+        "FROM part p JOIN (SELECT p_brand, "
+        "CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS DOUBLE) / "
+        "COUNT(*) AS avg_cents FROM part GROUP BY p_brand) a "
+        "ON p.p_brand = a.p_brand "
+        "WHERE CAST(ROUND(p.p_retailprice*100) AS BIGINT) > a.avg_cents"
+    ),
     "order_lineitem_join": (
         "SELECT o.o_orderpriority AS priority, COUNT(*) AS n_items, "
         "CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
@@ -4664,6 +5165,12 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "decontaminate": q_decontaminate,
     "duplicate_substrings": q_duplicate_substrings,
+    "local_supplier_volume": q_local_supplier_volume,
+    "large_volume_customers": q_large_volume_customers,
+    "market_basket_pairs": q_market_basket_pairs,
+    "user_top_event": q_user_top_event,
+    "posting_lists": q_posting_lists,
+    "parts_above_brand_avg": q_parts_above_brand_avg,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,

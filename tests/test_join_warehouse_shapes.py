@@ -1,0 +1,276 @@
+"""Edge-case ground truth for the round-5 warehouse/join-shape queries
+(local_supplier_volume, large_volume_customers, market_basket_pairs,
+user_top_event, posting_lists, parts_above_brand_avg).
+
+Each test synthesizes a tiny table that isolates a semantic the sf
+tables can't falsify (strict thresholds, tie-breaks, per-order
+dedup, truncation boundaries, the basket-width raise) and checks the
+engine against hand truth — and, where cheap, the DuckDB oracle twin
+on the same files.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write(tmp_path, name, df):
+    df.to_parquet(tmp_path / f"{name}.parquet")
+
+
+def test_market_basket_dedup_and_tiebreak(ray_session, tmp_path):
+    """A part listed on TWO line numbers of one order must count once;
+    single-part orders emit no pairs; equal-count pairs order by
+    (p1, p2) at the top-k cutoff."""
+    from crawler_ray.pipelines.queries import q_market_basket_pairs
+
+    rows = [
+        # order 1: parts {10, 20} with part 10 duplicated across lines
+        (1, 10), (1, 10), (1, 20),
+        # order 2: same pair again -> (10,20) count 2
+        (2, 10), (2, 20),
+        # order 3: {10, 30} and order 4: {20, 30} -> counts 1 each
+        (3, 10), (3, 30),
+        (4, 20), (4, 30),
+        # order 5: single part -> no pairs
+        (5, 40),
+    ]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    li["l_orderkey"] = li["l_orderkey"].astype(np.int64)
+    li["l_partkey"] = li["l_partkey"].astype(np.int64)
+    _write(tmp_path, "lineitem", li)
+
+    got = q_market_basket_pairs(str(tmp_path)).reset_index(drop=True)
+    assert list(map(tuple, got[["p1", "p2", "n"]].to_numpy())) == [
+        (10, 20, 2),
+        (10, 30, 1),
+        (20, 30, 1),
+    ]
+
+
+def test_market_basket_width_raises(ray_session, tmp_path):
+    """A basket wider than BASKET_MAX_PARTS raises (never a silent
+    cap) — the O(k²) guard."""
+    from crawler_ray.pipelines.queries import BASKET_MAX_PARTS, q_market_basket_pairs
+
+    k = BASKET_MAX_PARTS + 1
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.zeros(k, dtype=np.int64),
+            "l_partkey": np.arange(k, dtype=np.int64),
+        }
+    )
+    _write(tmp_path, "lineitem", li)
+    with pytest.raises(Exception, match="BASKET_MAX_PARTS"):
+        q_market_basket_pairs(str(tmp_path))
+
+
+def test_user_top_event_tiebreak(ray_session, tmp_path):
+    """Equal counts resolve to the LEXICOGRAPHICALLY FIRST event type
+    (the ROW_NUMBER ... ORDER BY cnt DESC, type twin)."""
+    from crawler_ray.pipelines.queries import q_user_top_event
+
+    rows = [
+        # user 1: 2x view, 2x click -> tie -> 'click' wins lexicographically
+        (1, "view"), (1, "view"), (1, "click"), (1, "click"),
+        # user 2: clear winner 'view'
+        (2, "view"), (2, "view"), (2, "click"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    _write(tmp_path, "events", ev)
+
+    got = (
+        q_user_top_event(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got[["user_id", "top_event", "n"]].to_numpy())) == [
+        (1, "click", 2),
+        (2, "view", 2),
+    ]
+
+
+def test_large_volume_threshold_strict(ray_session, tmp_path):
+    """An order summing EXACTLY to the threshold is excluded (strict >),
+    one unit above is included, and the customer join recovers names."""
+    from crawler_ray.pipelines.queries import LARGE_VOLUME_QTY, q_large_volume_customers
+
+    t = LARGE_VOLUME_QTY
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.array([1, 1, 2, 2], dtype=np.int64),
+            "l_quantity": [float(t - 100), 100.0, float(t - 100), 101.0],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([1, 2], dtype=np.int64),
+            "o_custkey": np.array([7, 8], dtype=np.int64),
+            "o_orderdate": pd.to_datetime(["2000-01-01", "2000-01-02"]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.array([7, 8], dtype=np.int64),
+            "c_name": ["Customer#7", "Customer#8"],
+        }
+    )
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "customer", cust)
+
+    got = q_large_volume_customers(str(tmp_path)).reset_index(drop=True)
+    assert len(got) == 1
+    assert int(got["o_orderkey"].iloc[0]) == 2
+    assert got["c_name"].iloc[0] == "Customer#8"
+    assert int(got["total_qty"].iloc[0]) == t + 1
+
+
+def test_posting_lists_df_and_truncation(ray_session, tmp_path):
+    """A token repeated inside one doc counts df ONCE; a token in more
+    than POSTINGS_K docs keeps exact df but truncates the posting list
+    to the first K ascending doc_ids."""
+    from crawler_ray.pipelines.queries import POSTINGS_K, q_posting_lists
+
+    n = POSTINGS_K + 5
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # every doc holds 'common' (twice in doc 0); doc 0 also 'rare'
+            "text": ["common common rare"] + ["common"] * (n - 1),
+        }
+    )
+    _write(tmp_path, "documents", docs)
+
+    got = (
+        q_posting_lists(str(tmp_path))
+        .to_pandas()
+        .set_index("token")
+        .sort_index()
+    )
+    assert int(got.loc["common", "df"]) == n
+    assert got.loc["common", "postings"] == ",".join(
+        str(i) for i in range(POSTINGS_K)
+    )
+    assert int(got.loc["rare", "df"]) == 1
+    assert got.loc["rare", "postings"] == "0"
+
+
+def test_parts_above_brand_avg_strict(ray_session, tmp_path):
+    """A part priced exactly AT its brand average is excluded; the
+    comparison happens per brand."""
+    from crawler_ray.pipelines.queries import q_parts_above_brand_avg
+
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(5, dtype=np.int64),
+            "p_brand": ["A", "A", "A", "B", "B"],
+            # brand A avg = 20.00 -> only the 30.00 part qualifies
+            # brand B avg = 10.00 -> only the 15.00 part qualifies
+            "p_retailprice": [10.0, 20.0, 30.0, 5.0, 15.0],
+        }
+    )
+    _write(tmp_path, "part", part)
+
+    got = (
+        q_parts_above_brand_avg(str(tmp_path))
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    assert list(got["p_partkey"]) == [2, 4]
+    assert list(got["retail_cents"]) == [3000, 1500]
+
+
+def test_local_supplier_volume_nation_and_date_bounds(ray_session, tmp_path):
+    """Q5 semantics the sf tables can't isolate: a lineitem whose
+    supplier nation differs from the customer nation is EXCLUDED even
+    when both nations are in the region; the date range is [lo, hi)
+    (an order ON the upper bound is out); revenue is exact integer
+    cents × (100 − discount%)."""
+    from crawler_ray.pipelines.queries import (
+        Q5_DATE_HI,
+        Q5_DATE_LO,
+        Q5_REGION,
+        q_local_supplier_volume,
+    )
+
+    _write(
+        tmp_path,
+        "region",
+        pd.DataFrame(
+            {"r_regionkey": np.array([0, 1], dtype=np.int64),
+             "r_name": [Q5_REGION, "OTHER"]}
+        ),
+    )
+    _write(
+        tmp_path,
+        "nation",
+        pd.DataFrame(
+            {
+                "n_nationkey": np.array([0, 1, 2], dtype=np.int64),
+                "n_name": ["N0", "N1", "NOUT"],
+                "n_regionkey": np.array([0, 0, 1], dtype=np.int64),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": np.array([1, 2], dtype=np.int64),
+                "c_nationkey": np.array([0, 1], dtype=np.int64),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "supplier",
+        pd.DataFrame(
+            {
+                "s_suppkey": np.array([1, 2], dtype=np.int64),
+                "s_nationkey": np.array([0, 1], dtype=np.int64),
+            }
+        ),
+    )
+    lo = pd.Timestamp(Q5_DATE_LO)
+    hi = pd.Timestamp(Q5_DATE_HI)
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": np.array([10, 11, 12], dtype=np.int64),
+                "o_custkey": np.array([1, 1, 1], dtype=np.int64),
+                # in-range (== lo), in-range, OUT (== hi, exclusive)
+                "o_orderdate": pd.Series([lo, lo, hi]).astype("datetime64[us]"),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": np.array([10, 11, 12], dtype=np.int64),
+                # order 10: supplier in SAME nation as customer -> counted
+                # order 11: supplier in nation 1 != customer nation 0 -> out
+                # order 12: date out of range -> out
+                "l_suppkey": np.array([1, 2, 1], dtype=np.int64),
+                "l_extendedprice": [100.0, 100.0, 100.0],
+                "l_discount": [0.05, 0.0, 0.0],
+            }
+        ),
+    )
+
+    got = q_local_supplier_volume(str(tmp_path)).reset_index(drop=True)
+    assert len(got) == 1
+    assert got["n_name"].iloc[0] == "N0"
+    assert int(got["n_items"].iloc[0]) == 1
+    # 100.00 -> 10000 cents x (100 - 5) = 950000 milli-cents
+    assert int(got["revenue_milli"].iloc[0]) == 950_000
