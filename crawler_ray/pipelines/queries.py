@@ -4465,6 +4465,196 @@ def q_parts_above_brand_avg(sf_dir: str):
     return _read(path, columns=cols).map_batches(above, batch_format="pyarrow")
 
 
+def q_daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per day — the two-level aggregate
+    that makes exact distinct scale: map-side (day, user) dedup +
+    per-pair event counts shrink the first shuffle to the distinct-pair
+    table; the second pass counts pairs per day map-side, so the final
+    groupby carries ≤ |days| × blocks partial rows.  No sketch — the
+    HLL variant is q_approx_distinct; this is its exact twin."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # int64 epoch-µs day key: timestamp keys degrade to coarser
+        # units through shuffle/pandas round-trips (precision-warning
+        # spam); ints survive exactly, cast back once at the end
+        df["day_us"] = (
+            df["ts"].dt.floor("D").astype("datetime64[us]").astype(np.int64)
+        )
+        g = df.groupby(["day_us", "user_id"], as_index=False).size()
+        g = g.rename(columns={"size": "n_events"})
+        return table_from_pandas(g)
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["day_us", "user_id"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def per_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("day_us", as_index=False).agg(
+            n_users=("user_id", "size"), n_events=("n_events", "sum")
+        )
+        return table_from_pandas(g)
+
+    agg = (
+        distinct.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch["day_us"].cast(pa.timestamp("us")),
+                "n_users": batch["n_users"],
+                "n_events": batch["n_events"],
+            }
+        )
+
+    return agg.map_batches(to_ts, batch_format="pyarrow")
+
+
+def q_new_vs_returning(sf_dir: str):
+    """Per-day split of active users into NEW (first-ever activity is
+    that day) vs RETURNING — the first-touch attribution shape.  The
+    distinct (user, day) activity table co-locates by
+    ``hash(user) % WINDOW_HASH_PARTITIONS``, so each user's full day
+    history sits in one partition and first-day marking is one
+    vectorized groupby-min compare; day totals then aggregate from
+    map-side partials.  No per-user driver state anywhere."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day_us = (
+            df["ts"].dt.floor("D").astype("datetime64[us]").astype(np.int64)
+        )
+        g = pd.DataFrame({"user_id": df["user_id"], "day_us": day_us})
+        g = g.drop_duplicates()
+        g["pkey"] = pd.util.hash_array(
+            g["user_id"].to_numpy().astype(np.int64)
+        ).astype(np.int64) % WINDOW_HASH_PARTITIONS
+        return table_from_pandas(g)
+
+    def mark_new(g: pd.DataFrame) -> pa.Table:
+        df = g.drop_duplicates(["user_id", "day_us"])
+        first = df.groupby("user_id")["day_us"].transform("min")
+        out = pd.DataFrame(
+            {
+                "day_us": df["day_us"],
+                "n_new": (df["day_us"] == first).astype(np.int64),
+                "n_returning": (df["day_us"] != first).astype(np.int64),
+            }
+        )
+        p = out.groupby("day_us", as_index=False).agg(
+            n_new=("n_new", "sum"), n_returning=("n_returning", "sum")
+        )
+        return table_from_pandas(p)
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(mark_new, batch_format="pandas")
+        .groupby("day_us")
+        .aggregate(
+            Sum("n_new", alias_name="n_new"),
+            Sum("n_returning", alias_name="n_returning"),
+        )
+    )
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        day = batch["day_us"].cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "day": day,
+                "n_new": batch["n_new"],
+                "n_returning": batch["n_returning"],
+            }
+        )
+
+    return agg.map_batches(to_ts, batch_format="pyarrow")
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences (prev type → next type, ordered by ts with event_id
+    tiebreak) — the sequence-mining shape behind session-path analysis.
+    Same bounded hash-partition discipline as q_event_gaps: a user's
+    whole sequence sits in one of WINDOW_HASH_PARTITIONS partitions,
+    the within-user shift is one vectorized pass, and only (prev, next,
+    partial count) rows reach the final groupby."""
+    ds = _read(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(WINDOW_HASH_PARTITIONS)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def transitions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same_user = g["user_id"].to_numpy() == np.roll(g["user_id"].to_numpy(), 1)
+        same_user[0] = False
+        prev = np.roll(g["event_type"].to_numpy(), 1)
+        keep = same_user
+        out = pd.DataFrame(
+            {"prev_type": prev[keep], "next_type": g["event_type"].to_numpy()[keep]}
+        )
+        p = out.groupby(["prev_type", "next_type"], as_index=False).size()
+        p = p.rename(columns={"size": "n"})
+        return table_from_pandas(p)
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_distinct_parts_per_supplier(sf_dir: str):
+    """Exact grouped distinct count over the biggest fact table
+    (COUNT(DISTINCT l_partkey) per supplier): map-side pair dedup →
+    one distinct-pair groupby → map-side per-supplier counts → tiny
+    final groupby.  The classic exact-distinct two-phase; the shuffle
+    never carries more than the distinct (supplier, part) pairs."""
+    ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(["l_suppkey", "l_partkey"])
+        df["one"] = np.int64(1)
+        return table_from_pandas(df)
+
+    distinct = (
+        ds.map_batches(dedup, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Min("one", alias_name="one"))
+    )
+
+    def per_supp(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_suppkey", as_index=False).agg(n_parts=("one", "size"))
+        return table_from_pandas(g)
+
+    return (
+        distinct.map_batches(per_supp, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
+    )
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -4554,6 +4744,34 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT token, CAST(MAX(df) AS BIGINT) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
         f"FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY token"
+    ),
+    "daily_active_users": (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY 1"
+    ),
+    "new_vs_returning": (
+        "WITH act AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id "
+        "FROM events), "
+        "f AS (SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id) "
+        "SELECT CAST(a.day AS TIMESTAMP) AS day, "
+        "CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_new, "
+        "CAST(SUM(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_returning "
+        "FROM act a JOIN f USING (user_id) GROUP BY a.day"
+    ),
+    "event_transitions": (
+        "SELECT prev_type, event_type AS next_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT event_type, LAG(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) "
+        "WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
+    ),
+    "distinct_parts_per_supplier": (
+        "SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+        "FROM lineitem GROUP BY l_suppkey"
     ),
     "parts_above_brand_avg": (
         "SELECT p.p_partkey, p.p_brand, "
@@ -5171,6 +5389,10 @@ QUERIES = {
     "user_top_event": q_user_top_event,
     "posting_lists": q_posting_lists,
     "parts_above_brand_avg": q_parts_above_brand_avg,
+    "daily_active_users": q_daily_active_users,
+    "new_vs_returning": q_new_vs_returning,
+    "event_transitions": q_event_transitions,
+    "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,

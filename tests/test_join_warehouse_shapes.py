@@ -274,3 +274,113 @@ def test_local_supplier_volume_nation_and_date_bounds(ray_session, tmp_path):
     assert int(got["n_items"].iloc[0]) == 1
     # 100.00 -> 10000 cents x (100 - 5) = 950000 milli-cents
     assert int(got["revenue_milli"].iloc[0]) == 950_000
+
+
+def test_daily_active_users_dedup(ray_session, tmp_path):
+    """A user with several events in one day counts ONCE in n_users
+    but every event counts in n_events; day boundaries split at
+    midnight."""
+    from crawler_ray.pipelines.queries import q_daily_active_users
+
+    T = pd.Timestamp("2025-03-01")
+    rows = [
+        (1, T), (1, T + pd.Timedelta(hours=5)),       # same day, 2 events
+        (2, T + pd.Timedelta(hours=23, minutes=59)),  # same day
+        (1, T + pd.Timedelta(days=1)),                # next day
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _write(tmp_path, "events", ev)
+
+    got = (
+        q_daily_active_users(str(tmp_path))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_users"]) == [2, 1]
+    assert list(got["n_events"]) == [3, 1]
+
+
+def test_new_vs_returning_first_touch(ray_session, tmp_path):
+    """New only on the user's FIRST-ever day; multiple same-day events
+    never double-count; a later day counts the same user as
+    returning."""
+    from crawler_ray.pipelines.queries import q_new_vs_returning
+
+    T = pd.Timestamp("2025-03-01")
+    d = pd.Timedelta(days=1)
+    rows = [
+        (1, T), (1, T),          # user 1 new on day 0 (twice -> once)
+        (1, T + d),              # returning on day 1
+        (2, T + d), (2, T + d),  # user 2 new on day 1
+        (2, T + 2 * d),          # returning on day 2
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _write(tmp_path, "events", ev)
+
+    got = (
+        q_new_vs_returning(str(tmp_path))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_new"]) == [1, 1, 0]
+    assert list(got["n_returning"]) == [0, 1, 1]
+
+
+def test_event_transitions_user_boundary_and_tiebreak(ray_session, tmp_path):
+    """No transition crosses a user boundary; equal timestamps order by
+    event_id (the SQL LAG tiebreak)."""
+    from crawler_ray.pipelines.queries import q_event_transitions
+
+    T = pd.Timestamp("2025-03-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> purchase (click/purchase same ts,
+        # event_id orders them)
+        (1, 10, T, "view"), (1, 11, T + s, "click"), (1, 12, T + s, "purchase"),
+        # user 2: single event -> no transition; and user 2's event
+        # must NOT chain onto user 1's last event
+        (2, 13, T + 2 * s, "view"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["event_id"] = ev["event_id"].astype(np.int64)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _write(tmp_path, "events", ev)
+
+    got = (
+        q_event_transitions(str(tmp_path))
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy())) == [
+        ("click", "purchase", 1),
+        ("view", "click", 1),
+    ]
+
+
+def test_distinct_parts_per_supplier_dedup(ray_session, tmp_path):
+    """Repeated (supplier, part) lineitems count the part once."""
+    from crawler_ray.pipelines.queries import q_distinct_parts_per_supplier
+
+    li = pd.DataFrame(
+        {
+            "l_suppkey": np.array([1, 1, 1, 2], dtype=np.int64),
+            "l_partkey": np.array([10, 10, 20, 10], dtype=np.int64),
+        }
+    )
+    _write(tmp_path, "lineitem", li)
+
+    got = (
+        q_distinct_parts_per_supplier(str(tmp_path))
+        .to_pandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy())) == [(1, 2), (2, 1)]
