@@ -4655,6 +4655,171 @@ def q_distinct_parts_per_supplier(sf_dir: str):
     )
 
 
+def q_orders_above_customer_avg(sf_dir: str):
+    """Correlated subquery against a LARGE dimension (orders above
+    their own customer's average order value): unlike
+    q_parts_above_brand_avg (25 brands → broadcast), the per-customer
+    average table is customer-cardinality, so it flows back through a
+    bucketed hash join on the customer key — the self-join-aggregation
+    shape at scale.  Averages are one double division of exact integer
+    sums, bit-equal to the SQL twin."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    path = f"{sf_dir}/orders.parquet"
+
+    def project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
+                "totalprice_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    orders = _read(path, columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            cents=("totalprice_cents", "sum"), n=("totalprice_cents", "size")
+        )
+        return table_from_pandas(g)
+
+    def to_avg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "avg_cents": pc.divide(
+                    batch["cents"].cast(pa.float64()), batch["n"].cast(pa.float64())
+                ),
+            }
+        )
+
+    avgs = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .map_batches(to_avg, batch_format="pyarrow")
+    )
+
+    i64, f64 = pa.int64(), pa.float64()
+    joined = bucketed_hash_join(
+        orders,
+        avgs,
+        key="o_custkey",
+        left_schema=pa.schema(
+            [("o_orderkey", i64), ("o_custkey", i64), ("totalprice_cents", i64)]
+        ),
+        right_schema=pa.schema([("o_custkey", i64), ("avg_cents", f64)]),
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = df["totalprice_cents"].to_numpy() > df["avg_cents"].to_numpy()
+        out = df.loc[keep, ["o_orderkey", "o_custkey", "totalprice_cents"]]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(out["o_orderkey"], type=pa.int64()),
+                "o_custkey": pa.array(out["o_custkey"], type=pa.int64()),
+                "totalprice_cents": pa.array(out["totalprice_cents"], type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(above, batch_format="pyarrow")
+
+
+def q_parts_in_all_regions(sf_dir: str):
+    """Relational division (parts ordered by customers of EVERY
+    region): two bucketed large-large joins carry (order → region)
+    then (part → region); map-side pair dedup shrinks the shuffle to
+    distinct (part, region); the division itself is `count(distinct
+    region) == |regions|` on the tiny per-part table.  The tiny
+    nation→region map applies as a vectorized broadcast lookup at the
+    customer read — never a shuffle."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # ≤ 25 rows
+    n_regions = int(
+        _pq.read_table(f"{sf_dir}/region.parquet").num_rows
+    )  # ≤ 5 by schema
+    n2r = {int(k): int(r) for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])}
+    n2r_ref = ray.put(n2r)
+
+    def cust_region(batch: pa.Table) -> pa.Table:
+        m = ray.get(n2r_ref)
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "o_custkey": pa.array(df["c_custkey"], type=pa.int64()),
+                "region": pa.array(
+                    df["c_nationkey"].map(m).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    cust = _read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_region, batch_format="pyarrow")
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    i64 = pa.int64()
+    order_region = bucketed_hash_join(
+        orders,
+        cust,
+        key="o_custkey",
+        left_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64)]),
+        right_schema=pa.schema([("o_custkey", i64), ("region", i64)]),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "region"]).rename_columns(
+            ["l_orderkey", "region"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    part_region = bucketed_hash_join(
+        li,
+        order_region,
+        key="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", i64), ("l_partkey", i64)]),
+        right_schema=pa.schema([("l_orderkey", i64), ("region", i64)]),
+    )
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["l_partkey", "region"]].drop_duplicates()
+        df["one"] = np.int64(1)
+        return table_from_pandas(df)
+
+    distinct = (
+        part_region.map_batches(dedup, batch_format="pyarrow")
+        .groupby(["l_partkey", "region"])
+        .aggregate(Min("one", alias_name="one"))
+    )
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_partkey", as_index=False).agg(n_regions=("one", "size"))
+        return table_from_pandas(g)
+
+    counts = (
+        distinct.map_batches(per_part, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("n_regions", alias_name="n_regions"))
+    )
+
+    def divide(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["n_regions"], n_regions))
+        return pa.table({"p_partkey": t["l_partkey"].cast(pa.int64())})
+
+    return counts.map_batches(divide, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -4744,6 +4909,23 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT token, CAST(MAX(df) AS BIGINT) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
         f"FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY token"
+    ),
+    "orders_above_customer_avg": (
+        "SELECT o.o_orderkey, o.o_custkey, "
+        "CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS totalprice_cents "
+        "FROM orders o JOIN (SELECT o_custkey, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE) / "
+        "COUNT(*) AS avg_cents FROM orders GROUP BY o_custkey) a "
+        "USING (o_custkey) "
+        "WHERE CAST(ROUND(o.o_totalprice*100) AS BIGINT) > a.avg_cents"
+    ),
+    "parts_in_all_regions": (
+        "SELECT l.l_partkey AS p_partkey FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY l.l_partkey "
+        "HAVING COUNT(DISTINCT n.n_regionkey) = (SELECT COUNT(*) FROM region)"
     ),
     "daily_active_users": (
         "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
@@ -5393,6 +5575,8 @@ QUERIES = {
     "new_vs_returning": q_new_vs_returning,
     "event_transitions": q_event_transitions,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
+    "parts_in_all_regions": q_parts_in_all_regions,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,

@@ -384,3 +384,91 @@ def test_distinct_parts_per_supplier_dedup(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert list(map(tuple, got.to_numpy())) == [(1, 2), (2, 1)]
+
+
+def test_orders_above_customer_avg_strict(ray_session, tmp_path):
+    """An order exactly AT its customer's average is excluded — in
+    particular a single-order customer never qualifies (its only
+    order IS the average)."""
+    from crawler_ray.pipelines.queries import q_orders_above_customer_avg
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(4, dtype=np.int64),
+            "o_custkey": np.array([1, 1, 1, 2], dtype=np.int64),
+            # cust 1 avg = 20.00 -> only the 30.00 order qualifies;
+            # cust 2 single order == its own avg -> excluded
+            "o_totalprice": [10.0, 20.0, 30.0, 99.0],
+        }
+    )
+    _write(tmp_path, "orders", orders)
+
+    got = (
+        q_orders_above_customer_avg(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert list(got["o_orderkey"]) == [2]
+    assert list(got["totalprice_cents"]) == [3000]
+
+
+def test_parts_in_all_regions_division(ray_session, tmp_path):
+    """Relational division: a part must be ordered by customers of
+    EVERY region; repeat orders from the same region count once."""
+    from crawler_ray.pipelines.queries import q_parts_in_all_regions
+
+    _write(
+        tmp_path,
+        "region",
+        pd.DataFrame(
+            {"r_regionkey": np.array([0, 1], dtype=np.int64),
+             "r_name": ["R0", "R1"]}
+        ),
+    )
+    _write(
+        tmp_path,
+        "nation",
+        pd.DataFrame(
+            {
+                "n_nationkey": np.array([0, 1], dtype=np.int64),
+                "n_name": ["N0", "N1"],
+                "n_regionkey": np.array([0, 1], dtype=np.int64),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": np.array([1, 2], dtype=np.int64),
+                "c_nationkey": np.array([0, 1], dtype=np.int64),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": np.array([10, 11, 12], dtype=np.int64),
+                "o_custkey": np.array([1, 2, 1], dtype=np.int64),
+            }
+        ),
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        pd.DataFrame(
+            {
+                # part 100: regions {0, 1} (via orders 10 and 11) -> in
+                # part 200: region 0 twice (orders 10, 12) -> out
+                "l_orderkey": np.array([10, 11, 10, 12], dtype=np.int64),
+                "l_partkey": np.array([100, 100, 200, 200], dtype=np.int64),
+            }
+        ),
+    )
+
+    got = q_parts_in_all_regions(str(tmp_path)).to_pandas()
+    assert list(got["p_partkey"]) == [100]
