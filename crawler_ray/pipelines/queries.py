@@ -4820,6 +4820,116 @@ def q_parts_in_all_regions(sf_dir: str):
     return counts.map_batches(divide, batch_format="pyarrow")
 
 
+def q_user_longest_streak(sf_dir: str):
+    """Gaps-and-islands (longest run of CONSECUTIVE active days per
+    user) — the classic windowed sequence shape (`day − ROW_NUMBER()`
+    island key in SQL).  Distinct (user, day) pairs co-locate by user
+    hash; within a partition one sort + two vectorized diffs find every
+    island, so no per-user Python loop and no user ever spans
+    partitions.  Day arithmetic is integer epoch-days throughout."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (
+            df["ts"].dt.floor("D").astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        g = pd.DataFrame({"user_id": df["user_id"], "day": day}).drop_duplicates()
+        g["pkey"] = pd.util.hash_array(
+            g["user_id"].to_numpy().astype(np.int64)
+        ).astype(np.int64) % WINDOW_HASH_PARTITIONS
+        return table_from_pandas(g)
+
+    def streaks(g: pd.DataFrame) -> pa.Table:
+        df = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        # island id: cumulative count of breaks (new user OR day gap > 1)
+        brk = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        island = np.cumsum(brk)
+        runs = pd.DataFrame({"user_id": u, "island": island})
+        lengths = runs.groupby(["user_id", "island"], as_index=False).size()
+        best = lengths.groupby("user_id", as_index=False)["size"].max()
+        return pa.table(
+            {
+                "user_id": pa.array(best["user_id"], type=pa.int64()),
+                "longest_streak": pa.array(best["size"], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(streaks, batch_format="pandas")
+    )
+
+
+def q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth (tumbling month window + LAG on
+    the aggregate): the corpus-scale work is one map-side partial sum
+    per (month) → tiny grouped sum; the LAG/pct-change runs on the
+    ≤ |months| driver-side table (bounded by calendar length, never
+    rows).  Growth is a single double division of exact integer cents;
+    the first month reports -1 sentinel (COALESCE twin)."""
+    ds = _read(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        month_us = (
+            df["o_orderdate"]
+            .dt.to_period("M")
+            .dt.to_timestamp()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"month_us": month_us, "revenue_cents": cents})
+        p = g.groupby("month_us", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+        return table_from_pandas(p)
+
+    months = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month_us")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()  # ≤ |months| rows — bounded by calendar length
+        .sort_values("month_us")
+        .reset_index(drop=True)
+    )
+    prev = months["revenue_cents"].shift(1)
+    growth = (months["revenue_cents"] - prev) / prev
+    months["growth"] = growth.fillna(-1.0)
+    months["month"] = months["month_us"].astype("datetime64[us]")
+    return months[["month", "revenue_cents", "growth"]]
+
+
+def q_events_heatmap(sf_dir: str):
+    """Day-of-week × hour-of-day activity heatmap (the ops-dashboard
+    shape): pure map-side bucketing into ≤ 7×24 cells, then one tiny
+    grouped sum — no key ever exceeds 168 groups regardless of corpus
+    size.  DOW is ISO (Monday=1) to match DuckDB's isodow."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dow = (df["ts"].dt.dayofweek + 1).astype(np.int64)  # ISO Monday=1
+        hour = df["ts"].dt.hour.astype(np.int64)
+        g = pd.DataFrame({"dow": dow, "hour": hour})
+        p = g.groupby(["dow", "hour"], as_index=False).size()
+        p = p.rename(columns={"size": "n"})
+        return table_from_pandas(p)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -4909,6 +5019,32 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT token, CAST(MAX(df) AS BIGINT) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
         f"FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY token"
+    ),
+    "user_longest_streak": (
+        "WITH act AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+        "isl AS (SELECT user_id, day - CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY day) AS INTEGER) AS island FROM act), "
+        "runs AS (SELECT user_id, island, COUNT(*) AS len FROM isl "
+        "GROUP BY user_id, island) "
+        "SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak "
+        "FROM runs GROUP BY user_id"
+    ),
+    "monthly_revenue_growth": (
+        "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)"
+        " AS month, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)"
+        " AS revenue_cents "
+        "FROM orders GROUP BY 1) "
+        "SELECT month, revenue_cents, "
+        "COALESCE((revenue_cents - LAG(revenue_cents) OVER (ORDER BY month))"
+        " / CAST(LAG(revenue_cents) OVER (ORDER BY month) AS DOUBLE), -1.0)"
+        " AS growth FROM m"
+    ),
+    "events_heatmap": (
+        "SELECT CAST(isodow(ts) AS BIGINT) AS dow, "
+        "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
     ),
     "orders_above_customer_avg": (
         "SELECT o.o_orderkey, o.o_custkey, "
@@ -5577,6 +5713,9 @@ QUERIES = {
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "parts_in_all_regions": q_parts_in_all_regions,
+    "user_longest_streak": q_user_longest_streak,
+    "monthly_revenue_growth": q_monthly_revenue_growth,
+    "events_heatmap": q_events_heatmap,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,

@@ -472,3 +472,83 @@ def test_parts_in_all_regions_division(ray_session, tmp_path):
 
     got = q_parts_in_all_regions(str(tmp_path)).to_pandas()
     assert list(got["p_partkey"]) == [100]
+
+
+def test_user_longest_streak_islands(ray_session, tmp_path):
+    """Gaps-and-islands semantics: same-day repeats extend nothing, a
+    one-day gap breaks the streak, month boundaries don't."""
+    from crawler_ray.pipelines.queries import q_user_longest_streak
+
+    def day(s):
+        return pd.Timestamp(s)
+
+    rows = [
+        # user 1: Jan 30,31, Feb 1 (streak 3 across month boundary),
+        # then Feb 3-4 (streak 2); repeats on Jan 31 don't inflate
+        (1, day("2025-01-30")), (1, day("2025-01-31")), (1, day("2025-01-31")),
+        (1, day("2025-02-01")), (1, day("2025-02-03")), (1, day("2025-02-04")),
+        # user 2: single day -> streak 1
+        (2, day("2025-01-01")),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _write(tmp_path, "events", ev)
+
+    got = (
+        q_user_longest_streak(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy())) == [(1, 3), (2, 1)]
+
+
+def test_monthly_revenue_growth_sentinel(ray_session, tmp_path):
+    """First month reports the -1 sentinel; growth is the exact-cents
+    ratio; empty months simply don't appear (LAG skips to the prior
+    PRESENT month, matching the SQL twin)."""
+    from crawler_ray.pipelines.queries import q_monthly_revenue_growth
+
+    orders = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                ["2025-01-05", "2025-01-20", "2025-02-10", "2025-04-01"]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [100.0, 100.0, 300.0, 150.0],
+        }
+    )
+    _write(tmp_path, "orders", orders)
+
+    got = q_monthly_revenue_growth(str(tmp_path)).reset_index(drop=True)
+    assert list(got["revenue_cents"]) == [20000, 30000, 15000]
+    assert got["growth"].iloc[0] == -1.0
+    assert abs(got["growth"].iloc[1] - 0.5) < 1e-12
+    assert abs(got["growth"].iloc[2] - (-0.5)) < 1e-12
+
+
+def test_events_heatmap_iso_dow(ray_session, tmp_path):
+    """DOW is ISO (Monday=1, Sunday=7) and hours split at the hour
+    boundary."""
+    from crawler_ray.pipelines.queries import q_events_heatmap
+
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2025-01-06 00:59:59",  # Monday hour 0
+                    "2025-01-06 01:00:00",  # Monday hour 1
+                    "2025-01-12 23:00:00",  # Sunday hour 23
+                ]
+            ).astype("datetime64[us]")
+        }
+    )
+    _write(tmp_path, "events", ev)
+
+    got = (
+        q_events_heatmap(str(tmp_path))
+        .to_pandas()
+        .sort_values(["dow", "hour"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy())) == [(1, 0, 1), (1, 1, 1), (7, 23, 1)]
