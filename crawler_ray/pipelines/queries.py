@@ -4195,14 +4195,29 @@ def q_large_volume_customers(sf_dir: str):
         g = df.groupby("l_orderkey", as_index=False).agg(qty=("qty", "sum"))
         return table_from_pandas(g)
 
+    def tag(batch: pa.Table) -> pa.Table:
+        pk = (batch["l_orderkey"].to_numpy() % np.int64(256)).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def sum_filter(g: pd.DataFrame) -> pa.Table:
+        # an orderkey lives in exactly one pkey partition, so this
+        # vectorized per-partition sum IS the global sum — no per-group
+        # Python accumulator (Ray's groupby(key).aggregate runs one,
+        # ~12k groups/s; 1.5M order groups at sf1+ would be minutes)
+        s = g.groupby("l_orderkey", as_index=False).agg(total_qty=("qty", "sum"))
+        s = s[s["total_qty"] > LARGE_VOLUME_QTY]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(s["l_orderkey"], type=pa.int64()),
+                "total_qty": pa.array(s["total_qty"], type=pa.int64()),
+            }
+        )
+
     sums = (
         li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty", alias_name="total_qty"))
-        .map_batches(
-            lambda t: t.filter(pc.field("total_qty") > LARGE_VOLUME_QTY),
-            batch_format="pyarrow",
-        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(sum_filter, batch_format="pandas")
         .to_pandas()  # bounded: HAVING survivors only (threshold selectivity)
     )
     if sums.empty:
@@ -4249,7 +4264,12 @@ def q_market_basket_pairs(sf_dir: str):
     map-side partials, so the only all-to-all carries (pair, count)
     partials, never raw pairs.  A basket wider than BASKET_MAX_PARTS
     RAISES (k² blowup is a data bug, not a silent cap — the repo's
-    raise-never-cap rule)."""
+    raise-never-cap rule).  The global pair reduction reuses
+    stages.dedup.combine_pairs_by_hash — Ray's multi-key
+    groupby([p1,p2]).aggregate runs a per-group Python accumulator
+    (~12k groups/s), minutes of CPU at the ~1M pairs sf0.1 already
+    produces; the single-hash-key vectorized combine took the sf0.1
+    leg from ~26 s to ~4 s."""
     ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -4284,31 +4304,31 @@ def q_market_basket_pairs(sf_dir: str):
         if not p1s:
             return pa.table(
                 {
-                    "p1": pa.array([], type=pa.int64()),
-                    "p2": pa.array([], type=pa.int64()),
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
                     "n": pa.array([], type=pa.int64()),
                 }
             )
         pairs = pd.DataFrame(
-            {"p1": np.concatenate(p1s), "p2": np.concatenate(p2s)}
+            {"id_a": np.concatenate(p1s), "id_b": np.concatenate(p2s)}
         )
-        out = pairs.groupby(["p1", "p2"], as_index=False).size()
+        out = pairs.groupby(["id_a", "id_b"], as_index=False).size()
         out = out.rename(columns={"size": "n"})
         return table_from_pandas(out)
 
-    counts = (
+    from crawler_ray.stages.dedup import combine_pairs_by_hash
+
+    counts = combine_pairs_by_hash(
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("pkey")
-        .map_groups(gen_pairs, batch_format="pandas")
-        .groupby(["p1", "p2"])
-        .aggregate(Sum("n", alias_name="n"))
+        .map_groups(gen_pairs, batch_format="pandas"),
+        [("n", "n", "sum")],
     )
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "p1", "p2"], ascending=[False, True, True]
-        )
-        return table_from_pandas(df.head(BASKET_TOPK))
+        df = batch.to_pandas().rename(columns={"id_a": "p1", "id_b": "p2"})
+        df = df.sort_values(["n", "p1", "p2"], ascending=[False, True, True])
+        return table_from_pandas(df[["p1", "p2", "n"]].head(BASKET_TOPK))
 
     merged = counts.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     # driver merge bounded: ≤ BASKET_TOPK rows per block reach here
@@ -4626,32 +4646,36 @@ def q_event_transitions(sf_dir: str):
 
 def q_distinct_parts_per_supplier(sf_dir: str):
     """Exact grouped distinct count over the biggest fact table
-    (COUNT(DISTINCT l_partkey) per supplier): map-side pair dedup →
-    one distinct-pair groupby → map-side per-supplier counts → tiny
-    final groupby.  The classic exact-distinct two-phase; the shuffle
-    never carries more than the distinct (supplier, part) pairs."""
+    (COUNT(DISTINCT l_partkey) per supplier): map-side pair dedup
+    shrinks the shuffle to distinct-per-batch (supplier, part) pairs,
+    co-located by ``hash(supplier) % 256`` — a supplier lives in
+    exactly one partition, so one vectorized drop_duplicates + groupby
+    size per partition IS the global distinct count.  No multi-key
+    Ray aggregate (a per-group Python accumulator at ~12k groups/s —
+    minutes of CPU once distinct pairs reach ~1M)."""
     ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
 
     def dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates(["l_suppkey", "l_partkey"])
-        df["one"] = np.int64(1)
+        df["pkey"] = pd.util.hash_array(
+            df["l_suppkey"].to_numpy().astype(np.int64)
+        ).astype(np.int64) % np.int64(256)
         return table_from_pandas(df)
 
-    distinct = (
-        ds.map_batches(dedup, batch_format="pyarrow")
-        .groupby(["l_suppkey", "l_partkey"])
-        .aggregate(Min("one", alias_name="one"))
-    )
-
-    def per_supp(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("l_suppkey", as_index=False).agg(n_parts=("one", "size"))
-        return table_from_pandas(g)
+    def count_parts(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["l_suppkey", "l_partkey"])
+        c = d.groupby("l_suppkey", as_index=False).agg(n_parts=("l_partkey", "size"))
+        return pa.table(
+            {
+                "l_suppkey": pa.array(c["l_suppkey"], type=pa.int64()),
+                "n_parts": pa.array(c["n_parts"], type=pa.int64()),
+            }
+        )
 
     return (
-        distinct.map_batches(per_supp, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("n_parts", alias_name="n_parts"))
+        ds.map_batches(dedup, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(count_parts, batch_format="pandas")
     )
 
 
@@ -4792,32 +4816,26 @@ def q_parts_in_all_regions(sf_dir: str):
     )
 
     def dedup(batch: pa.Table) -> pa.Table:
+        # map-side dedup + part-hash co-location: a part lives in one
+        # partition, so the division check is one vectorized pass there
+        # (no multi-key Ray aggregate — per-group Python accumulator)
         df = batch.to_pandas()[["l_partkey", "region"]].drop_duplicates()
-        df["one"] = np.int64(1)
+        df["pkey"] = pd.util.hash_array(
+            df["l_partkey"].to_numpy().astype(np.int64)
+        ).astype(np.int64) % np.int64(256)
         return table_from_pandas(df)
 
-    distinct = (
+    def divide(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["l_partkey", "region"])
+        c = d.groupby("l_partkey", as_index=False).agg(n_regions=("region", "size"))
+        keep = c.loc[c["n_regions"] == n_regions, "l_partkey"]
+        return pa.table({"p_partkey": pa.array(keep, type=pa.int64())})
+
+    return (
         part_region.map_batches(dedup, batch_format="pyarrow")
-        .groupby(["l_partkey", "region"])
-        .aggregate(Min("one", alias_name="one"))
+        .groupby("pkey")
+        .map_groups(divide, batch_format="pandas")
     )
-
-    def per_part(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("l_partkey", as_index=False).agg(n_regions=("one", "size"))
-        return table_from_pandas(g)
-
-    counts = (
-        distinct.map_batches(per_part, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("n_regions", alias_name="n_regions"))
-    )
-
-    def divide(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["n_regions"], n_regions))
-        return pa.table({"p_partkey": t["l_partkey"].cast(pa.int64())})
-
-    return counts.map_batches(divide, batch_format="pyarrow")
 
 
 def q_user_longest_streak(sf_dir: str):
