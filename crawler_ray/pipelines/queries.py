@@ -4355,29 +4355,24 @@ def q_user_top_event(sf_dir: str):
         df = batch.to_pandas()
         g = df.groupby(["user_id", "event_type"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
+        g["pkey"] = (g["user_id"] % TOP_EVENT_PARTITIONS).astype(np.int64)
         return table_from_pandas(g)
 
-    counts = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["pkey"] = (df["user_id"] % TOP_EVENT_PARTITIONS).astype(np.int64)
-        return table_from_pandas(df)
-
     def argmax(g: pd.DataFrame) -> pa.Table:
+        # a user's partial counts all live in this partition: merge
+        # them here (globally exact), then take first-per-user — no
+        # multi-key Ray aggregate over user×type (user-cardinality
+        # groups, per-group Python accumulator)
+        m = g.groupby(["user_id", "event_type"], as_index=False).agg(n=("n", "sum"))
         top = (
-            g.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+            m.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
             .drop_duplicates("user_id")
             .rename(columns={"event_type": "top_event"})
         )
         return table_from_pandas(top[["user_id", "top_event", "n"]])
 
     return (
-        counts.map_batches(tag, batch_format="pyarrow")
+        ev.map_batches(partial, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(argmax, batch_format="pandas")
     )
@@ -4504,23 +4499,28 @@ def q_daily_active_users(sf_dir: str):
         )
         g = df.groupby(["day_us", "user_id"], as_index=False).size()
         g = g.rename(columns={"size": "n_events"})
+        g["pkey"] = pd.util.hash_array(
+            g["user_id"].to_numpy().astype(np.int64)
+        ).astype(np.int64) % np.int64(256)
         return table_from_pandas(g)
 
-    distinct = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["day_us", "user_id"])
-        .aggregate(Sum("n_events", alias_name="n_events"))
-    )
-
-    def per_day(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("day_us", as_index=False).agg(
+    def per_day(g: pd.DataFrame) -> pa.Table:
+        # a user's pairs all live in this partition, so merging batch
+        # partials per (day, user) here is globally exact — no
+        # multi-key Ray aggregate over day×user (corpus-scale groups,
+        # per-group Python accumulator)
+        m = g.groupby(["day_us", "user_id"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+        p = m.groupby("day_us", as_index=False).agg(
             n_users=("user_id", "size"), n_events=("n_events", "sum")
         )
-        return table_from_pandas(g)
+        return table_from_pandas(p)
 
     agg = (
-        distinct.map_batches(per_day, batch_format="pyarrow")
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(per_day, batch_format="pandas")
         .groupby("day_us")
         .aggregate(
             Sum("n_users", alias_name="n_users"),
