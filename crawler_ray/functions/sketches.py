@@ -265,3 +265,88 @@ def approx_quantiles(ds, col: str, qs: list[float], k: int = 256) -> dict:
     for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
         merged.merge(QuantileSketch.from_bytes(row["blob"]))
     return {f"p{int(q * 100)}": merged.quantile(q) for q in qs}
+
+
+class CountMinSketch:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan): ``depth``
+    independent rows of ``width`` counters; point estimate = min over
+    rows.  Guarantees (for non-negative counts): estimate ≥ true count
+    ALWAYS; estimate ≤ true + (e/width)·N with probability
+    1 − e^−depth.  Mergeable by elementwise add (same dims required),
+    so per-block sketches reduce to one — the same
+    mergeable-summaries pattern as HyperLogLog / MisraGries /
+    QuantileSketch; this member answers POINT queries the others
+    can't (MG only tracks the k heaviest)."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0  # total added count (for the error bound)
+
+    def _cols(self, item) -> np.ndarray:
+        h = hashlib.blake2b(str(item).encode("utf-8"), digest_size=16).digest()
+        base = int.from_bytes(h[:8], "little")
+        step = int.from_bytes(h[8:], "little") | 1  # odd → full-period
+        return np.array(
+            [(base + r * step) % self.width for r in range(self.depth)],
+            dtype=np.int64,
+        )
+
+    def add_many(self, items) -> None:
+        rows = np.arange(self.depth)
+        for it in items:
+            self.table[rows, self._cols(it)] += 1
+            self.n += 1
+
+    def estimate(self, item) -> int:
+        rows = np.arange(self.depth)
+        return int(self.table[rows, self._cols(item)].min())
+
+    def merge(self, other: "CountMinSketch") -> None:
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("CountMinSketch dims must match to merge")
+        self.table += other.table
+        self.n += other.n
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.width, self.depth, self.table, self.n))
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "CountMinSketch":
+        import pickle
+
+        width, depth, table, n = pickle.loads(raw)
+        s = cls(width, depth)
+        s.table, s.n = table, n
+        return s
+
+
+def cm_frequencies(
+    ds, col: str, items: list, *, width: int = 2048, depth: int = 4, tokenize=None
+):
+    """Distributed Count-Min point-frequency estimates: one sketch per
+    block (map_batches partial, width×depth ints each), merged on the
+    driver, then queried for ``items``.  The collect is
+    O(width·depth·blocks) bytes regardless of corpus or vocabulary
+    size.  Returns a pandas DataFrame (item, est_count, n_total)."""
+    import pandas as pd
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        s = CountMinSketch(width, depth)
+        for cell in batch[col].to_pylist():
+            s.add_many(tokenize(cell) if tokenize else [cell])
+        return pa.table({"blob": pa.array([s.to_bytes()], type=pa.binary())})
+
+    merged = CountMinSketch(width, depth)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged.merge(CountMinSketch.from_bytes(row["blob"]))
+    return pd.DataFrame(
+        {
+            "item": [str(i) for i in items],
+            "est_count": [merged.estimate(i) for i in items],
+            "n_total": [merged.n] * len(items),
+        }
+    )

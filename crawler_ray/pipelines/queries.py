@@ -4948,6 +4948,57 @@ def q_events_heatmap(sf_dir: str):
     )
 
 
+CM_QUERY_DOCS = 5  # query tokens drawn from the first docs (deterministic)
+
+
+def q_cm_token_freqs(sf_dir: str):
+    """Count-Min point-frequency estimates for a deterministic token
+    set (the distinct tokens of the first CM_QUERY_DOCS documents)
+    over the whole corpus — the sketch member that answers POINT
+    queries (Misra–Gries only tracks the heaviest k).  One
+    width×depth sketch per block, merged on the driver: the collect
+    is O(width·depth·blocks) bytes regardless of corpus or vocabulary.
+    Rows-only: ground truth (est ≥ true, est ≤ true + (e/width)·N,
+    merge ≡ single-pass) lives in tests/test_sketches.py."""
+    from crawler_ray.functions.sketches import cm_frequencies
+
+    head = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < CM_QUERY_DOCS),
+    ).to_pandas()  # ≤ CM_QUERY_DOCS rows by the read filter
+    items = sorted(
+        {t for txt in head["text"] for t in _VOCAB_TOKEN.findall((txt or "").lower())}
+    )
+    ds = _doc(sf_dir, ["text"])
+    return cm_frequencies(
+        ds,
+        "text",
+        items,
+        tokenize=lambda t: _VOCAB_TOKEN.findall((t or "").lower()),
+    )
+
+
+def q_link_triangles(sf_dir: str):
+    """Exact triangle count over the synthetic web's link graph
+    (stages/graph.triangle_count — degree-ordered wedge join: orient
+    low→high degree, generate wedges at the low-degree apex, close
+    them against the pair-hash-co-located edge set; hub-proof
+    O(m^1.5) wedge volume).  Rows-only: iterative/graph category;
+    ground truth vs a single-process adjacency-set count in
+    tests/test_ground_truth.py."""
+    import ray.data as _rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.graph import triangle_count
+
+    web = demo_web(n_sites=4, n_pages=200, seed=42)
+    edges = link_edges(web)
+    n_nodes = sum(s.n_pages for s in web.sites.values())
+    n = triangle_count(_rd.from_arrow(edges), n_nodes)
+    return pd.DataFrame({"n_triangles": [n]})
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -5756,4 +5807,6 @@ QUERIES = {
     "quantized_embeddings": q_quantized_embeddings,
     "interleaved_spans": q_interleaved_spans,
     "link_pagerank": q_link_pagerank,
+    "link_triangles": q_link_triangles,
+    "cm_token_freqs": q_cm_token_freqs,
 }

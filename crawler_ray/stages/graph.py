@@ -125,3 +125,212 @@ def pagerank(
     return pd.DataFrame(
         {"node": np.arange(n_nodes, dtype=np.int64), "rank": rank}
     )
+
+
+TRIANGLE_MAX_ORIENTED_DEG = 4096  # raise-never-cap guard on wedge fan-out
+
+
+def triangle_count(
+    edges: Dataset,
+    n_nodes: int,
+    *,
+    n_parts: int = 64,
+    budget_bytes: int = PAGERANK_BUDGET_BYTES,
+) -> int:
+    """Exact global triangle count over an undirected edge table —
+    the degree-ordered wedge-join algorithm (Cohen's MapReduce
+    formulation; Suri & Vassilvitskii's hub taming):
+
+    1. canonicalize + dedup edges map-side (u < v, self-loops out);
+    2. ORIENT each edge from its lower-(degree, id) endpoint to the
+       higher one — every wedge is then generated at its lowest-degree
+       apex, so per-node oriented out-degree is O(sqrt(m)) on any
+       graph and total wedge volume is O(m^1.5) worst-case instead of
+       sum(deg²) (hub-proof);
+    3. co-locate oriented edges by hash(src): one partition holds a
+       node's full out-neighborhood; wedges (a, b) emit via one
+       np.triu_indices pass per out-degree class (no per-node Python
+       loop);
+    4. co-locate wedges AND oriented edges by hash of the (a, b) pair:
+       a triangle is a wedge whose closing edge sits in the same
+       partition — counted with one vectorized merge per partition.
+
+    The degree vector is node-scale numpy under the same byte budget
+    contract as :func:`pagerank` (RAISES with the bucketed-co-group
+    guidance when exceeded).  An oriented out-degree above
+    TRIANGLE_MAX_ORIENTED_DEG raises — on a degree-ordered graph that
+    means ~16M+ edges incident to mutually-high-degree nodes, a k²
+    wedge blowup the caller must acknowledge, not a silent cap."""
+    if 8 * n_nodes > budget_bytes:
+        raise ValueError(
+            f"triangle_count degree state (8×{n_nodes} B) exceeds the "
+            f"{budget_bytes >> 20} MiB budget — bucket the degree table "
+            "and orient via a bucketed join instead of the broadcast"
+        )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        df = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+        df["pkey"] = pd.util.hash_array(
+            df["u"].to_numpy() * np.int64(2654435761) + df["v"].to_numpy()
+        ).astype(np.int64) % np.int64(n_parts)
+        return pa.table(
+            {
+                "u": pa.array(df["u"], type=pa.int64()),
+                "v": pa.array(df["v"], type=pa.int64()),
+                "pkey": pa.array(df["pkey"], type=pa.int64()),
+            }
+        )
+
+    def dedup_part(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["u", "v"])
+        return pa.table(
+            {
+                "u": pa.array(d["u"], type=pa.int64()),
+                "v": pa.array(d["v"], type=pa.int64()),
+            }
+        )
+
+    # one canonical copy of each undirected edge (pair-hash co-located)
+    uniq = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()  # read twice below (degrees, then orientation)
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch["u"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, counts = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    deg_rows = (
+        uniq.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ n_nodes rows — inside the declared budget
+    )
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    deg[deg_rows["node"].to_numpy()] = deg_rows["n"].to_numpy()
+    deg_ref = ray.put(deg)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        dg = ray.get(deg_ref)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        # orient low (degree, id) → high: total order, hub-proof
+        u_first = (dg[u] < dg[v]) | ((dg[u] == dg[v]) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        pk = pd.util.hash_array(src.astype(np.int64)).astype(
+            np.int64
+        ) % np.int64(n_parts)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "pkey": pa.array(pk, type=pa.int64()),
+            }
+        )
+
+    oriented = uniq.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        df = g.sort_values(["src", "dst"])
+        codes, _ = pd.factorize(df["src"].to_numpy())
+        counts = np.bincount(codes)
+        dsts = df["dst"].to_numpy()
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        a_l, b_l = [], []
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            if k > TRIANGLE_MAX_ORIENTED_DEG:
+                raise ValueError(
+                    f"oriented out-degree {k} exceeds "
+                    f"TRIANGLE_MAX_ORIENTED_DEG={TRIANGLE_MAX_ORIENTED_DEG}: "
+                    "wedge generation is O(k²) — raise the bound "
+                    "deliberately for this graph"
+                )
+            idx = np.where(counts == k)[0]
+            starts = offsets[idx]
+            mat = dsts[starts[:, None] + np.arange(k)[None, :]]
+            iu, ju = np.triu_indices(k, 1)
+            a_l.append(mat[:, iu].ravel())
+            b_l.append(mat[:, ju].ravel())
+        if not a_l:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                }
+            )
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"a": pa.array(lo, type=pa.int64()), "b": pa.array(hi, type=pa.int64())}
+        )
+
+    def pair_tag(role: str):
+        def tag(batch: pa.Table) -> pa.Table:
+            if role == "wedge":
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+            else:
+                u = batch["src"].to_numpy(zero_copy_only=False)
+                v = batch["dst"].to_numpy(zero_copy_only=False)
+                a, b = np.minimum(u, v), np.maximum(u, v)
+            pk = pd.util.hash_array(
+                a.astype(np.int64) * np.int64(2654435761) + b.astype(np.int64)
+            ).astype(np.int64) % np.int64(n_parts)
+            return pa.table(
+                {
+                    "a": pa.array(a, type=pa.int64()),
+                    "b": pa.array(b, type=pa.int64()),
+                    "is_edge": pa.array(
+                        np.full(len(a), role == "edge"), type=pa.bool_()
+                    ),
+                    "pkey": pa.array(pk, type=pa.int64()),
+                }
+            )
+
+        return tag
+
+    wedge_stream = (
+        oriented.groupby("pkey")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(pair_tag("wedge"), batch_format="pyarrow")
+    )
+    edge_stream = oriented.map_batches(pair_tag("edge"), batch_format="pyarrow")
+
+    def close_count(g: pd.DataFrame) -> pa.Table:
+        e = g[g["is_edge"]][["a", "b"]].drop_duplicates()
+        w = g[~g["is_edge"]][["a", "b"]]
+        if not len(w) or not len(e):
+            n = 0
+        else:
+            n = int(len(w.merge(e, on=["a", "b"], how="inner")))
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    counts = (
+        wedge_stream.union(edge_stream)
+        .groupby("pkey")
+        .map_groups(close_count, batch_format="pandas")
+        .to_pandas()  # ≤ n_parts rows by construction
+    )
+    return int(counts["n"].sum())

@@ -1245,3 +1245,58 @@ def test_pagerank_budget_raise(ray_session):
     edges = rd.from_items([{"src": 0, "dst": 1}])
     with pytest.raises(ValueError, match="bucketed co-group"):
         pagerank(edges, n_nodes=10**9, budget_bytes=1 << 20)
+
+
+def test_triangle_count_ground_truth(ray_session):
+    """Distributed degree-ordered wedge-join triangle count equals a
+    single-process adjacency-set count on the demo-web link graph,
+    and on a hand graph with hubs and duplicate/reversed edges."""
+    import itertools
+
+    import ray.data as rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.graph import triangle_count
+
+    def brute(src, dst, n):
+        adj = [set() for _ in range(n)]
+        for s, d in zip(src, dst):
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        t = 0
+        for v in range(n):
+            for a, b in itertools.combinations(sorted(adj[v]), 2):
+                if a > v and b > v and b in adj[a]:
+                    t += 1
+        return t
+
+    web = demo_web(n_sites=4, n_pages=200, seed=42)
+    edges = link_edges(web)
+    n_nodes = sum(s.n_pages for s in web.sites.values())
+    src = edges["src"].to_pylist()
+    dst = edges["dst"].to_pylist()
+    expect = brute(src, dst, n_nodes)
+    got = triangle_count(rd.from_arrow(edges), n_nodes)
+    assert got == expect and expect > 0
+
+    # hub + duplicates + reversed pairs: wheel graph around node 0
+    n = 12
+    hub_src = [0] * (n - 1) + list(range(1, n - 1)) + [n - 1]
+    hub_dst = list(range(1, n)) + list(range(2, n)) + [1]
+    # duplicates and reversals must not change the count
+    src2 = hub_src + hub_dst
+    dst2 = hub_dst + hub_src
+    expect2 = brute(src2, dst2, n)
+    got2 = triangle_count(
+        rd.from_arrow(
+            __import__("pyarrow").table(
+                {
+                    "src": __import__("pyarrow").array(src2, type=__import__("pyarrow").int64()),
+                    "dst": __import__("pyarrow").array(dst2, type=__import__("pyarrow").int64()),
+                }
+            )
+        ),
+        n,
+    )
+    assert got2 == expect2 == n - 1

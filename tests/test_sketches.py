@@ -165,3 +165,54 @@ def test_approx_quantiles_operator():
     for q, key in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
         est_rank = np.searchsorted(vals, got[key], side="right")
         assert abs(est_rank - q * n) <= 0.03 * n, (key, got[key])
+
+
+def test_count_min_bounds_and_merge():
+    """CM guarantees: estimate >= true count ALWAYS; estimate <=
+    true + (e/width)*N for the test stream (width chosen so the bound
+    bites); merging per-chunk sketches equals one single-pass sketch."""
+    import math
+
+    from crawler_ray.functions.sketches import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream over 500 items
+    items = [f"tok{int(i)}" for i in rng.zipf(1.3, size=20_000) if i < 500]
+    true = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+
+    whole = CountMinSketch(width=512, depth=4)
+    whole.add_many(items)
+    eps_bound = math.e / 512 * whole.n
+    for it, t in true.items():
+        est = whole.estimate(it)
+        assert est >= t, (it, est, t)
+        assert est <= t + eps_bound, (it, est, t, eps_bound)
+
+    merged = CountMinSketch(width=512, depth=4)
+    for i in range(0, len(items), 3_000):
+        part = CountMinSketch(width=512, depth=4)
+        part.add_many(items[i : i + 3_000])
+        merged.merge(part)
+    assert np.array_equal(merged.table, whole.table)
+    assert merged.n == whole.n
+
+
+def test_cm_frequencies_operator(ray_session):
+    """Distributed cm_frequencies over a Dataset matches the
+    single-process sketch and upper-bounds exact counts."""
+    import ray.data as rd
+
+    from crawler_ray.functions.sketches import cm_frequencies
+
+    texts = ["alpha beta alpha", "beta gamma", "alpha delta"] * 50
+    ds = rd.from_items([{"text": t} for t in texts])
+    got = cm_frequencies(
+        ds, "text", ["alpha", "beta", "gamma", "delta", "absent"],
+        tokenize=lambda t: t.split(),
+    ).set_index("item")
+    assert int(got.loc["alpha", "est_count"]) >= 150
+    assert int(got.loc["beta", "est_count"]) >= 100
+    assert int(got.loc["absent", "est_count"]) >= 0
+    assert int(got["n_total"].iloc[0]) == 7 * 50
