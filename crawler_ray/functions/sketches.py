@@ -284,24 +284,41 @@ class CountMinSketch:
         self.table = np.zeros((depth, width), dtype=np.int64)
         self.n = 0  # total added count (for the error bound)
 
-    def _cols(self, item) -> np.ndarray:
-        h = hashlib.blake2b(str(item).encode("utf-8"), digest_size=16).digest()
-        base = int.from_bytes(h[:8], "little")
-        step = int.from_bytes(h[8:], "little") | 1  # odd → full-period
-        return np.array(
-            [(base + r * step) % self.width for r in range(self.depth)],
-            dtype=np.int64,
-        )
+    @staticmethod
+    def _hash2(items) -> tuple[np.ndarray, np.ndarray]:
+        # two independent keyed 64-bit hashes per item, fully
+        # vectorized (a per-token Python digest loop would dominate the
+        # sketch stage at corpus scale); double hashing base + r·step
+        # gives the depth row functions
+        import pandas as pd
+
+        arr = np.asarray([str(x) for x in items], dtype=object)
+        base = pd.util.hash_array(arr, hash_key="cm-base-hash-key!"[:16])
+        step = pd.util.hash_array(arr, hash_key="cm-step-hash-key!"[:16])
+        return base, step | np.uint64(1)  # odd step → full period
 
     def add_many(self, items) -> None:
-        rows = np.arange(self.depth)
-        for it in items:
-            self.table[rows, self._cols(it)] += 1
-            self.n += 1
+        if not len(items):
+            return
+        base, step = self._hash2(items)
+        w = np.uint64(self.width)
+        # uint64 wraparound is the intended modular arithmetic
+        with np.errstate(over="ignore"):
+            for r in range(self.depth):
+                cols = ((base + np.uint64(r) * step) % w).astype(np.int64)
+                np.add.at(self.table[r], cols, 1)
+        self.n += len(items)
 
     def estimate(self, item) -> int:
-        rows = np.arange(self.depth)
-        return int(self.table[rows, self._cols(item)].min())
+        base, step = self._hash2([item])
+        w = np.uint64(self.width)
+        with np.errstate(over="ignore"):
+            return int(
+                min(
+                    self.table[r][int((base + np.uint64(r) * step)[0] % w)]
+                    for r in range(self.depth)
+                )
+            )
 
     def merge(self, other: "CountMinSketch") -> None:
         if (other.width, other.depth) != (self.width, self.depth):
