@@ -4948,6 +4948,63 @@ def q_events_heatmap(sf_dir: str):
     )
 
 
+def q_props_value_stats(sf_dir: str):
+    """Semi-structured (JSON) column extraction: per event_type stats
+    of the ``$.k`` field inside the ``props`` JSON string.  The hot
+    path is one VECTORIZED regex extract per batch (`"k": <int>` —
+    the overwhelmingly common shape); rows the regex can't handle
+    (reordered keys, nesting, whitespace variants) fall back to real
+    ``json.loads`` row-wise — exactness first, vectorization for the
+    common case.  Missing/null k is excluded from sum/count-k but not
+    from n (SQL COUNT/SUM null semantics)."""
+    import json as _json
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    pat = re.compile(r'^\{"k":\s*(-?\d+)\}$')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df["props"].astype("string")
+        # numeric from the start: assigning fallback ints into the
+        # string-dtype extract result would raise "Must provide strings"
+        kv = pd.to_numeric(s.str.extract(pat, expand=False), errors="coerce")
+        miss = kv.isna() & s.notna()
+        if miss.any():
+            def slow(v):
+                try:
+                    x = _json.loads(v).get("k")
+                    return float(x) if isinstance(x, int) else np.nan
+                except (ValueError, TypeError, AttributeError):
+                    return np.nan
+
+            kv = kv.astype(np.float64)
+            kv.loc[miss] = s[miss].map(slow).astype(np.float64)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "k": kv,
+                "has_k": kv.notna().astype(np.int64),
+            }
+        )
+        p = g.groupby("event_type", as_index=False).agg(
+            n=("k", "size"),
+            n_k=("has_k", "sum"),
+            sum_k=("k", lambda c: np.int64(c.fillna(0).sum())),
+        )
+        p["sum_k"] = p["sum_k"].astype(np.int64)
+        return table_from_pandas(p)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_k", alias_name="n_k"),
+            Sum("sum_k", alias_name="sum_k"),
+        )
+    )
+
+
 CM_QUERY_DOCS = 5  # query tokens drawn from the first docs (deterministic)
 
 
@@ -5088,6 +5145,13 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT token, CAST(MAX(df) AS BIGINT) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
         f"FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY token"
+    ),
+    "props_value_stats": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_k, "
+        "CAST(COALESCE(SUM(CAST(json_extract(props, '$.k') AS BIGINT)), 0)"
+        " AS BIGINT) AS sum_k "
+        "FROM events GROUP BY event_type"
     ),
     "user_longest_streak": (
         "WITH act AS (SELECT DISTINCT user_id, "
@@ -5785,6 +5849,7 @@ QUERIES = {
     "user_longest_streak": q_user_longest_streak,
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "events_heatmap": q_events_heatmap,
+    "props_value_stats": q_props_value_stats,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,

@@ -552,3 +552,32 @@ def test_events_heatmap_iso_dow(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert list(map(tuple, got.to_numpy())) == [(1, 0, 1), (1, 1, 1), (7, 23, 1)]
+
+
+def test_props_value_stats_fallback_and_nulls(ray_session, tmp_path):
+    """JSON rows the fast regex can't parse (reordered keys, extra
+    fields, whitespace) take the json.loads fallback; missing k and
+    malformed JSON count in n but not n_k/sum_k — SQL null
+    semantics."""
+    from crawler_ray.pipelines.queries import q_props_value_stats
+
+    ev = pd.DataFrame(
+        {
+            "event_type": ["a"] * 6,
+            "props": [
+                '{"k": 5}',             # fast path
+                '{ "k" : 7 }',          # whitespace -> fallback
+                '{"x": 1, "k": 3}',     # reordered/extra -> fallback
+                '{"x": 1}',             # no k -> null
+                "not json",             # malformed -> null
+                None,                   # null props -> null
+            ],
+        }
+    )
+    _write(tmp_path, "events", ev)
+
+    got = q_props_value_stats(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert int(got["n"].iloc[0]) == 6
+    assert int(got["n_k"].iloc[0]) == 3
+    assert int(got["sum_k"].iloc[0]) == 15
