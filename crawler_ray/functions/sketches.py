@@ -292,9 +292,16 @@ class CountMinSketch:
         # gives the depth row functions
         import pandas as pd
 
+        # categorize=False: pandas 2.2's categorize path is value-
+        # UNSTABLE on object arrays — a sketch hashed with it would not
+        # merge correctly across processes
         arr = np.asarray([str(x) for x in items], dtype=object)
-        base = pd.util.hash_array(arr, hash_key="cm-base-hash-key!"[:16])
-        step = pd.util.hash_array(arr, hash_key="cm-step-hash-key!"[:16])
+        base = pd.util.hash_array(
+            arr, hash_key="cm-base-hash-key!"[:16], categorize=False
+        )
+        step = pd.util.hash_array(
+            arr, hash_key="cm-step-hash-key!"[:16], categorize=False
+        )
         return base, step | np.uint64(1)  # odd step → full period
 
     def add_many(self, items) -> None:

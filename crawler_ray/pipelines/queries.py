@@ -2283,16 +2283,24 @@ def q_tfidf_top_terms(sf_dir: str):
     agree bit-for-bit; a float ln() idf would differ in the last ulp
     across libms):
 
-    - tf: per-batch partial (source, token, n) counts → grouped sum
-      (shuffle bounded by |vocab| × |sources| per block, never token
-      occurrences);
+    - tf: per-batch partial (source, token, n) counts, co-located by
+      ``hash(source, token) % 256`` and merged with one vectorized
+      pandas sum per partition (shuffle bounded by |vocab| × |sources|
+      per block, never token occurrences; a multi-key Ray aggregate
+      here would run a per-group Python accumulator over
+      vocab-cardinality groups — the ~12k groups/s trap);
     - df: per-source presence summed over the tf table → tiny driver
       dict (≤ |vocab| entries), broadcast into the scoring map;
     - top-k per source: map-side partial head → final bounded
       map_groups (the group_topk shape)."""
     ds = _doc(sf_dir, ["source", "text"])
     part_schema = pa.schema(
-        [("source", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+        [
+            ("source", pa.string()),
+            ("token", pa.string()),
+            ("n", pa.int64()),
+            ("pkey", pa.int64()),
+        ]
     )
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -2305,18 +2313,36 @@ def q_tfidf_top_terms(sf_dir: str):
         if not c:
             return part_schema.empty_table()
         ks, ts, ns = zip(*[(s, tok, n) for (s, tok), n in c.items()])
+        # categorize=False: pandas 2.2's categorize path is value-
+        # UNSTABLE on object arrays (same string, different hash in a
+        # different array) — every repo hash of object keys pins it off
+        key = pd.util.hash_array(
+            np.asarray([f"{s}\x00{t}" for s, t in zip(ks, ts)], dtype=object),
+            categorize=False,
+        ).astype(np.int64) % np.int64(256)
         return pa.table(
             {
                 "source": pa.array(ks, type=pa.string()),
                 "token": pa.array(ts, type=pa.string()),
                 "n": pa.array(ns, type=pa.int64()),
+                "pkey": pa.array(key, type=pa.int64()),
+            }
+        )
+
+    def merge_tf(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["source", "token"], as_index=False).agg(tf=("n", "sum"))
+        return pa.table(
+            {
+                "source": pa.array(m["source"], type=pa.string()),
+                "token": pa.array(m["token"], type=pa.string()),
+                "tf": pa.array(m["tf"], type=pa.int64()),
             }
         )
 
     tf = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby(["source", "token"])
-        .aggregate(Sum("n", alias_name="tf"))
+        .groupby("pkey")
+        .map_groups(merge_tf, batch_format="pandas")
     )
 
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -4403,7 +4429,7 @@ def q_posting_lists(sf_dir: str):
                 toks.append(tok)
         out = pd.DataFrame({"token": toks, "doc_id": ids})
         out["pkey"] = pd.util.hash_array(
-            out["token"].to_numpy(dtype=object)
+            out["token"].to_numpy(dtype=object), categorize=False
         ).astype(np.int64) % POSTINGS_PARTITIONS
         return table_from_pandas(out)
 
