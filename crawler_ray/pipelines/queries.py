@@ -33,7 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
-from crawler_ray.functions.arrow_utils import strip_md, table_from_pandas
+from crawler_ray.functions.arrow_utils import hash_pkey, strip_md, table_from_pandas
 from crawler_ray.functions.textops import content_quality
 from crawler_ray.functions.textstats import detect_language, whitespace_token_count
 
@@ -2313,13 +2313,9 @@ def q_tfidf_top_terms(sf_dir: str):
         if not c:
             return part_schema.empty_table()
         ks, ts, ns = zip(*[(s, tok, n) for (s, tok), n in c.items()])
-        # categorize=False: pandas 2.2's categorize path is value-
-        # UNSTABLE on object arrays (same string, different hash in a
-        # different array) — every repo hash of object keys pins it off
-        key = pd.util.hash_array(
-            np.asarray([f"{s}\x00{t}" for s, t in zip(ks, ts)], dtype=object),
-            categorize=False,
-        ).astype(np.int64) % np.int64(256)
+        key = hash_pkey(
+            [f"{s}\x00{t}" for s, t in zip(ks, ts)], 256
+        )  # object path pins categorize=False (see hash_pkey)
         return pa.table(
             {
                 "source": pa.array(ks, type=pa.string()),
@@ -2343,6 +2339,8 @@ def q_tfidf_top_terms(sf_dir: str):
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(merge_tf, batch_format="pandas")
+        .materialize()  # read twice below (df collect + scoring) — without
+        # this the whole tokenize+shuffle tf pipeline executes twice
     )
 
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -4304,30 +4302,19 @@ def q_market_basket_pairs(sf_dir: str):
         return table_from_pandas(df)
 
     def gen_pairs(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import segment_pairs
+
         df = g.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
             ["l_orderkey", "l_partkey"]
         )
-        codes, _ = pd.factorize(df["l_orderkey"].to_numpy())
-        counts = np.bincount(codes)
-        parts = df["l_partkey"].to_numpy()
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        p1s, p2s = [], []
-        for k in np.unique(counts):
-            if k < 2:
-                continue
-            if k > BASKET_MAX_PARTS:
-                raise ValueError(
-                    f"basket with {k} distinct parts exceeds BASKET_MAX_PARTS="
-                    f"{BASKET_MAX_PARTS}: pair generation is O(k²) — raise the "
-                    "bound deliberately or pre-filter pathological orders"
-                )
-            idx = np.where(counts == k)[0]
-            starts = offsets[idx]
-            mat = parts[starts[:, None] + np.arange(k)[None, :]]  # rows ascending
-            iu, ju = np.triu_indices(k, 1)
-            p1s.append(mat[:, iu].ravel())
-            p2s.append(mat[:, ju].ravel())
-        if not p1s:
+        # rows sorted by (order, part) → pairs come out a < b
+        a, b = segment_pairs(
+            df["l_orderkey"].to_numpy(),
+            df["l_partkey"].to_numpy(),
+            BASKET_MAX_PARTS,
+            "BASKET_MAX_PARTS",
+        )
+        if not len(a):
             return pa.table(
                 {
                     "id_a": pa.array([], type=pa.int64()),
@@ -4335,10 +4322,9 @@ def q_market_basket_pairs(sf_dir: str):
                     "n": pa.array([], type=pa.int64()),
                 }
             )
-        pairs = pd.DataFrame(
-            {"id_a": np.concatenate(p1s), "id_b": np.concatenate(p2s)}
-        )
-        out = pairs.groupby(["id_a", "id_b"], as_index=False).size()
+        out = pd.DataFrame({"id_a": a, "id_b": b}).groupby(
+            ["id_a", "id_b"], as_index=False
+        ).size()
         out = out.rename(columns={"size": "n"})
         return table_from_pandas(out)
 
@@ -4427,10 +4413,18 @@ def q_posting_lists(sf_dir: str):
             for tok in set(_VOCAB_TOKEN.findall((t or "").lower())):
                 ids.append(d)
                 toks.append(tok)
+        if not toks:
+            # typed empty block: a default empty DataFrame would emit
+            # (double, double) columns and break the single-schema stream
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pkey": pa.array([], type=pa.int64()),
+                }
+            )
         out = pd.DataFrame({"token": toks, "doc_id": ids})
-        out["pkey"] = pd.util.hash_array(
-            out["token"].to_numpy(dtype=object), categorize=False
-        ).astype(np.int64) % POSTINGS_PARTITIONS
+        out["pkey"] = hash_pkey(out["token"].to_numpy(dtype=object), POSTINGS_PARTITIONS)
         return table_from_pandas(out)
 
     def build(g: pd.DataFrame) -> pa.Table:
@@ -4525,9 +4519,7 @@ def q_daily_active_users(sf_dir: str):
         )
         g = df.groupby(["day_us", "user_id"], as_index=False).size()
         g = g.rename(columns={"size": "n_events"})
-        g["pkey"] = pd.util.hash_array(
-            g["user_id"].to_numpy().astype(np.int64)
-        ).astype(np.int64) % np.int64(256)
+        g["pkey"] = hash_pkey(g["user_id"].to_numpy(), 256)
         return table_from_pandas(g)
 
     def per_day(g: pd.DataFrame) -> pa.Table:
@@ -4583,9 +4575,7 @@ def q_new_vs_returning(sf_dir: str):
         )
         g = pd.DataFrame({"user_id": df["user_id"], "day_us": day_us})
         g = g.drop_duplicates()
-        g["pkey"] = pd.util.hash_array(
-            g["user_id"].to_numpy().astype(np.int64)
-        ).astype(np.int64) % WINDOW_HASH_PARTITIONS
+        g["pkey"] = hash_pkey(g["user_id"].to_numpy(), WINDOW_HASH_PARTITIONS)
         return table_from_pandas(g)
 
     def mark_new(g: pd.DataFrame) -> pa.Table:
@@ -4640,12 +4630,9 @@ def q_event_transitions(sf_dir: str):
     )
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        pk = (
-            pd.util.hash_array(
-                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            % np.uint64(WINDOW_HASH_PARTITIONS)
-        ).astype(np.int64)
+        pk = hash_pkey(
+            batch["user_id"].to_numpy(zero_copy_only=False), WINDOW_HASH_PARTITIONS
+        )
         return batch.append_column("pkey", pa.array(pk))
 
     def transitions(g: pd.DataFrame) -> pa.Table:
@@ -4683,9 +4670,7 @@ def q_distinct_parts_per_supplier(sf_dir: str):
 
     def dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates(["l_suppkey", "l_partkey"])
-        df["pkey"] = pd.util.hash_array(
-            df["l_suppkey"].to_numpy().astype(np.int64)
-        ).astype(np.int64) % np.int64(256)
+        df["pkey"] = hash_pkey(df["l_suppkey"].to_numpy(), 256)
         return table_from_pandas(df)
 
     def count_parts(g: pd.DataFrame) -> pa.Table:
@@ -4728,8 +4713,12 @@ def q_orders_above_customer_avg(sf_dir: str):
             }
         )
 
-    orders = _read(path, columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
-        project, batch_format="pyarrow"
+    orders = (
+        _read(path, columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()  # read twice (avgs branch + join left side) — Ray
+        # Data has no CSE, so an unmaterialized shared subtree would scan
+        # the fact table twice
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4846,9 +4835,7 @@ def q_parts_in_all_regions(sf_dir: str):
         # partition, so the division check is one vectorized pass there
         # (no multi-key Ray aggregate — per-group Python accumulator)
         df = batch.to_pandas()[["l_partkey", "region"]].drop_duplicates()
-        df["pkey"] = pd.util.hash_array(
-            df["l_partkey"].to_numpy().astype(np.int64)
-        ).astype(np.int64) % np.int64(256)
+        df["pkey"] = hash_pkey(df["l_partkey"].to_numpy(), 256)
         return table_from_pandas(df)
 
     def divide(g: pd.DataFrame) -> pa.Table:
@@ -4880,9 +4867,7 @@ def q_user_longest_streak(sf_dir: str):
             // 86_400_000_000
         )
         g = pd.DataFrame({"user_id": df["user_id"], "day": day}).drop_duplicates()
-        g["pkey"] = pd.util.hash_array(
-            g["user_id"].to_numpy().astype(np.int64)
-        ).astype(np.int64) % WINDOW_HASH_PARTITIONS
+        g["pkey"] = hash_pkey(g["user_id"].to_numpy(), WINDOW_HASH_PARTITIONS)
         return table_from_pandas(g)
 
     def streaks(g: pd.DataFrame) -> pa.Table:

@@ -175,9 +175,11 @@ def triangle_count(
         s, d = s[keep], d[keep]
         lo, hi = np.minimum(s, d), np.maximum(s, d)
         df = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
-        df["pkey"] = pd.util.hash_array(
-            df["u"].to_numpy() * np.int64(2654435761) + df["v"].to_numpy()
-        ).astype(np.int64) % np.int64(n_parts)
+        from crawler_ray.functions.arrow_utils import hash_pkey
+
+        df["pkey"] = hash_pkey(
+            df["u"].to_numpy() * np.int64(2654435761) + df["v"].to_numpy(), n_parts
+        )
         return pa.table(
             {
                 "u": pa.array(df["u"], type=pa.int64()),
@@ -236,9 +238,9 @@ def triangle_count(
         u_first = (dg[u] < dg[v]) | ((dg[u] == dg[v]) & (u < v))
         src = np.where(u_first, u, v)
         dst = np.where(u_first, v, u)
-        pk = pd.util.hash_array(src.astype(np.int64)).astype(
-            np.int64
-        ) % np.int64(n_parts)
+        from crawler_ray.functions.arrow_utils import hash_pkey
+
+        pk = hash_pkey(src, n_parts)
         return pa.table(
             {
                 "src": pa.array(src, type=pa.int64()),
@@ -250,37 +252,17 @@ def triangle_count(
     oriented = uniq.map_batches(orient, batch_format="pyarrow").materialize()
 
     def wedges(g: pd.DataFrame) -> pa.Table:
+        from crawler_ray.functions.arrow_utils import segment_pairs
+
         df = g.sort_values(["src", "dst"])
-        codes, _ = pd.factorize(df["src"].to_numpy())
-        counts = np.bincount(codes)
-        dsts = df["dst"].to_numpy()
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        a_l, b_l = [], []
-        for k in np.unique(counts):
-            if k < 2:
-                continue
-            if k > TRIANGLE_MAX_ORIENTED_DEG:
-                raise ValueError(
-                    f"oriented out-degree {k} exceeds "
-                    f"TRIANGLE_MAX_ORIENTED_DEG={TRIANGLE_MAX_ORIENTED_DEG}: "
-                    "wedge generation is O(k²) — raise the bound "
-                    "deliberately for this graph"
-                )
-            idx = np.where(counts == k)[0]
-            starts = offsets[idx]
-            mat = dsts[starts[:, None] + np.arange(k)[None, :]]
-            iu, ju = np.triu_indices(k, 1)
-            a_l.append(mat[:, iu].ravel())
-            b_l.append(mat[:, ju].ravel())
-        if not a_l:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                }
-            )
-        a = np.concatenate(a_l)
-        b = np.concatenate(b_l)
+        # shared kernel with the market-basket pair miner (one copy of
+        # the offsets/triu arithmetic + raise-never-cap guard)
+        a, b = segment_pairs(
+            df["src"].to_numpy(),
+            df["dst"].to_numpy(),
+            TRIANGLE_MAX_ORIENTED_DEG,
+            "TRIANGLE_MAX_ORIENTED_DEG",
+        )
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {"a": pa.array(lo, type=pa.int64()), "b": pa.array(hi, type=pa.int64())}
@@ -295,9 +277,12 @@ def triangle_count(
                 u = batch["src"].to_numpy(zero_copy_only=False)
                 v = batch["dst"].to_numpy(zero_copy_only=False)
                 a, b = np.minimum(u, v), np.maximum(u, v)
-            pk = pd.util.hash_array(
-                a.astype(np.int64) * np.int64(2654435761) + b.astype(np.int64)
-            ).astype(np.int64) % np.int64(n_parts)
+            from crawler_ray.functions.arrow_utils import hash_pkey
+
+            pk = hash_pkey(
+                a.astype(np.int64) * np.int64(2654435761) + b.astype(np.int64),
+                n_parts,
+            )
             return pa.table(
                 {
                     "a": pa.array(a, type=pa.int64()),

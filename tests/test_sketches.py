@@ -185,10 +185,17 @@ def test_count_min_bounds_and_merge():
     whole = CountMinSketch(width=512, depth=4)
     whole.add_many(items)
     eps_bound = math.e / 512 * whole.n
+    over = 0
     for it, t in true.items():
         est = whole.estimate(it)
-        assert est >= t, (it, est, t)
-        assert est <= t + eps_bound, (it, est, t, eps_bound)
+        assert est >= t, (it, est, t)  # one-sided guarantee is ALWAYS
+        if est > t + eps_bound:
+            over += 1
+    # the upper bound is per-item probabilistic (holds w.p. 1 - e^-depth
+    # ≈ 98.2% at depth 4): assert the failure RATE, not universality —
+    # a universal assert would be hash-seed luck, brittle to any
+    # innocuous _hash2 change
+    assert over <= math.ceil(0.05 * len(true)), (over, len(true))
 
     merged = CountMinSketch(width=512, depth=4)
     for i in range(0, len(items), 3_000):
