@@ -17,11 +17,11 @@ never reshuffled:
   partial contributions — O(distinct dst per block) rows leave each
   block, never the edge list.
 
-Over-budget node sets (≳32M nodes at the default 256 MiB) need the
-bucketed-co-group variant — hash-partition BOTH ranks and edges by
-``src`` bucket and join inside ``map_groups`` — which re-shuffles the
-rank side only; its shape exists in ``stages/joins.bucketed_hash_join``
-and is the documented scale-out path, not silently attempted here.
+Over-budget node sets (≳32M nodes at the default 256 MiB) take
+:func:`pagerank_bucketed` — ranks live in a hash-bucketed Dataset and
+each iteration is two co-grouping shuffles; no node-scale driver or
+broadcast state anywhere.  The broadcast variant RAISES (never a
+silent fallback) and its message names the bucketed one.
 """
 
 from __future__ import annotations
@@ -58,9 +58,9 @@ def pagerank(
         raise ValueError(
             f"pagerank node state ({state_bytes >> 20} MiB for "
             f"{n_nodes} nodes) exceeds the {budget_bytes >> 20} MiB "
-            "broadcast budget — use a bucketed co-group of ranks and "
-            "edges by hash(src) (see stages/joins.bucketed_hash_join) "
-            "instead of the broadcast iteration"
+            "broadcast budget — use pagerank_bucketed (ranks as a "
+            "hash-bucketed Dataset, two co-group shuffles per "
+            "iteration) instead of the broadcast iteration"
         )
 
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -319,3 +319,222 @@ def triangle_count(
         .to_pandas()  # ≤ n_parts rows by construction
     )
     return int(counts["n"].sum())
+
+
+def pagerank_bucketed(
+    edges: Dataset,
+    n_nodes: int,
+    *,
+    alpha: float = 0.85,
+    n_iter: int = 20,
+    n_buckets: int = 64,
+) -> Dataset:
+    """PageRank for node sets OVER the broadcast budget — the bucketed
+    co-group variant :func:`pagerank`'s raise message points at.  No
+    node-scale driver/broadcast state exists anywhere: ranks live in a
+    (node, rank, inv_deg) Dataset hash-bucketed by node, edges are
+    bucketed ONCE by src, and each iteration is two co-grouping
+    shuffles —
+
+    1. ranks ⋈ edges per src bucket (union + groupby + one vectorized
+       pandas pass) → per-bucket partial contributions (≤ distinct dst
+       per bucket rows);
+    2. contributions re-bucket by dst and fold into the next rank
+       table.
+
+    The only driver-side values are scalars (dangling mass, the
+    (1−α)/N base).  Results match :func:`pagerank` to float-sum
+    reordering tolerance; each iteration materializes the new state so
+    the lineage stays O(1) deep instead of O(n_iter)."""
+    from crawler_ray.functions.arrow_utils import hash_pkey
+
+    # --- out-degrees as a bucketed Dataset (node-scale, never driver)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u, type=pa.int64()),
+                "deg": pa.array(c.astype(np.float64), type=pa.float64()),
+                "bucket": pa.array(hash_pkey(u, n_buckets), type=pa.int64()),
+            }
+        )
+
+    import ray.data as _rd
+
+    def seed_state(batch: pa.Table) -> pa.Table:
+        node = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.int64()),
+                "deg": pa.array(np.zeros(len(node)), type=pa.float64()),
+                "bucket": pa.array(hash_pkey(node, n_buckets), type=pa.int64()),
+            }
+        )
+
+    def build_state(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("node", as_index=False).agg(deg=("deg", "sum"))
+        deg = m["deg"].to_numpy()
+        inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+        return pa.table(
+            {
+                "node": pa.array(m["node"], type=pa.int64()),
+                "rank": pa.array(
+                    np.full(len(m), 1.0 / n_nodes), type=pa.float64()
+                ),
+                "inv": pa.array(inv, type=pa.float64()),
+            }
+        )
+
+    nodes = _rd.range(n_nodes).map_batches(seed_state, batch_format="pyarrow")
+    state = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .union(nodes)
+        .groupby("bucket")
+        .map_groups(build_state, batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(
+                    batch["dst"].to_numpy(zero_copy_only=False), type=pa.int64()
+                ),
+                "bucket": pa.array(hash_pkey(src, n_buckets), type=pa.int64()),
+            }
+        )
+
+    edges_b = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    base = (1.0 - alpha) / n_nodes
+
+    # unified co-group row layout: state rows carry (rank, inv),
+    # edge rows carry dst, contrib rows carry c — is_a marks the side
+    def as_state(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    hash_pkey(batch["node"].to_numpy(zero_copy_only=False), n_buckets),
+                    type=pa.int64(),
+                ),
+                "node": batch["node"].cast(pa.int64()),
+                "rank": batch["rank"].cast(pa.float64()),
+                "inv": batch["inv"].cast(pa.float64()),
+                "dst": pa.array(np.full(n, -1, dtype=np.int64)),
+                "is_a": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def as_edge(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array(np.zeros(n), type=pa.float64())
+        return pa.table(
+            {
+                "bucket": batch["bucket"].cast(pa.int64()),
+                "node": batch["src"].cast(pa.int64()),
+                "rank": z,
+                "inv": z,
+                "dst": batch["dst"].cast(pa.int64()),
+                "is_a": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    for _ in range(n_iter):
+        # dangling mass: one tiny scalar aggregate (no node state)
+        def dangling_partial(batch: pa.Table) -> pa.Table:
+            inv = batch["inv"].to_numpy(zero_copy_only=False)
+            r = batch["rank"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"m": pa.array([float(r[inv == 0.0].sum())], type=pa.float64())}
+            )
+
+        d_mass = sum(
+            row["m"]
+            for row in state.map_batches(
+                dangling_partial, batch_format="pyarrow"
+            ).take_all()
+        )
+        extra = alpha * d_mass / n_nodes + base  # per-node constant
+
+        def contrib(g: pd.DataFrame) -> pa.Table:
+            a = g[g["is_a"]]
+            e = g[~g["is_a"]]
+            if not len(e):
+                return pa.table(
+                    {
+                        "node": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.float64()),
+                    }
+                )
+            w = pd.Series(
+                (a["rank"] * a["inv"]).to_numpy(), index=a["node"].to_numpy()
+            )
+            we = e["node"].map(w).to_numpy()  # weight of each edge's src
+            u, idx = np.unique(e["dst"].to_numpy(), return_inverse=True)
+            c = np.bincount(idx, weights=we)
+            return pa.table(
+                {
+                    "node": pa.array(u, type=pa.int64()),
+                    "c": pa.array(c, type=pa.float64()),
+                }
+            )
+
+        contribs = (
+            state.map_batches(as_state, batch_format="pyarrow")
+            .union(edges_b.map_batches(as_edge, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(contrib, batch_format="pandas")
+        )
+
+        def as_contrib(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        hash_pkey(
+                            batch["node"].to_numpy(zero_copy_only=False), n_buckets
+                        ),
+                        type=pa.int64(),
+                    ),
+                    "node": batch["node"].cast(pa.int64()),
+                    "rank": pa.array(np.zeros(n), type=pa.float64()),
+                    "inv": batch["c"].cast(pa.float64()),  # carry c in inv slot
+                    "dst": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "is_a": pa.array(np.zeros(n, dtype=bool)),
+                }
+            )
+
+        def fold(g: pd.DataFrame) -> pa.Table:
+            a = g[g["is_a"]]
+            c = g[~g["is_a"]]
+            csum = (
+                c.groupby("node")["inv"].sum()
+                if len(c)
+                else pd.Series(dtype=np.float64)
+            )
+            cc = a["node"].map(csum).fillna(0.0).to_numpy()
+            new_rank = extra + alpha * cc
+            return pa.table(
+                {
+                    "node": pa.array(a["node"], type=pa.int64()),
+                    "rank": pa.array(new_rank, type=pa.float64()),
+                    "inv": pa.array(a["inv"], type=pa.float64()),
+                }
+            )
+
+        state = (
+            state.map_batches(as_state, batch_format="pyarrow")
+            .union(contribs.map_batches(as_contrib, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()  # O(1)-deep lineage across iterations
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "rank"])
+
+    return state.map_batches(project, batch_format="pyarrow")

@@ -1243,7 +1243,7 @@ def test_pagerank_budget_raise(ray_session):
     from crawler_ray.stages.graph import pagerank
 
     edges = rd.from_items([{"src": 0, "dst": 1}])
-    with pytest.raises(ValueError, match="bucketed co-group"):
+    with pytest.raises(ValueError, match="pagerank_bucketed"):
         pagerank(edges, n_nodes=10**9, budget_bytes=1 << 20)
 
 
@@ -1300,3 +1300,33 @@ def test_triangle_count_ground_truth(ray_session):
         n,
     )
     assert got2 == expect2 == n - 1
+
+
+def test_pagerank_bucketed_matches_broadcast(ray_session):
+    """The over-budget co-group variant must agree with the broadcast
+    iteration to float-sum reordering tolerance and conserve mass —
+    it's the path the broadcast raise message directs 32M+-node
+    graphs to, so equivalence is the whole contract."""
+    import ray.data as rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.graph import pagerank, pagerank_bucketed
+
+    web = demo_web(n_sites=3, n_pages=60, seed=7)
+    edges = link_edges(web)
+    n = sum(s.n_pages for s in web.sites.values())
+
+    a = pagerank(rd.from_arrow(edges), n, alpha=0.85, n_iter=3)
+    b = (
+        pagerank_bucketed(
+            rd.from_arrow(edges), n, alpha=0.85, n_iter=3, n_buckets=8
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(b["node"]) == list(range(n))
+    assert abs(float(b["rank"].sum()) - 1.0) < 1e-9
+    assert np.allclose(
+        a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=1e-9, atol=1e-12
+    )
