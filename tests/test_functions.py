@@ -210,3 +210,53 @@ def test_packet_truncation():
     p1 = packet.deterministic_packet_id("s", "u", "h")
     p2 = packet.deterministic_packet_id("s", "u", "h")
     assert p1 == p2 and len(p1) == 36
+
+
+def test_hash_pkey_value_stable_across_arrays():
+    """Regression for pandas 2.2's categorize-path instability: the
+    SAME key must map to the SAME partition regardless of which other
+    values share its array (observed: identical strings hashing
+    differently inside different arrays with categorize=True on this
+    corpus — silently splitting a key across hash partitions).
+    Exercises ASCII, Korean, and mixed arrays plus int keys."""
+    import numpy as np
+
+    from crawler_ray.functions.arrow_utils import hash_pkey
+
+    keys = ["alpha", "베타코드", "src0\x00a", "x" * 300]
+    ref = {k: int(hash_pkey(np.asarray([k], dtype=object), 64)[0]) for k in keys}
+    # embed each key in several very different arrays
+    fillers = [
+        [f"tok{i}" for i in range(500)],
+        [f"문서{i}\x00{i%7}" for i in range(300)],
+        ["z"],
+    ]
+    for filler in fillers:
+        for k in keys:
+            arr = np.asarray(filler + [k] + filler[:3], dtype=object)
+            got = int(hash_pkey(arr, 64)[len(filler)])
+            assert got == ref[k], (k, got, ref[k])
+    # int path: stable and equal regardless of array contents
+    a = int(hash_pkey(np.asarray([12345], dtype=np.int64), 64)[0])
+    b = int(hash_pkey(np.arange(1000, dtype=np.int64) * 0 + 12345, 64)[17])
+    assert a == b
+
+
+def test_segment_pairs_kernel():
+    """Shared pair-generation kernel: per-group pairs, empty cases,
+    and the raise-never-cap guard."""
+    import numpy as np
+    import pytest
+
+    from crawler_ray.functions.arrow_utils import segment_pairs
+
+    g = np.array([1, 1, 2, 2, 2, 3])
+    v = np.array([10, 20, 1, 2, 3, 99])
+    a, b = segment_pairs(g, v, max_width=8, label="T")
+    assert sorted(zip(a, b)) == [(1, 2), (1, 3), (2, 3), (10, 20)]
+    a, b = segment_pairs(np.array([5]), np.array([1]), 8, "T")
+    assert len(a) == 0 and len(b) == 0
+    a, b = segment_pairs(np.array([], dtype=int), np.array([], dtype=int), 8, "T")
+    assert len(a) == 0
+    with pytest.raises(ValueError, match="T=2"):
+        segment_pairs(np.zeros(3, dtype=int), np.arange(3), 2, "T")
