@@ -5047,6 +5047,48 @@ def q_cm_token_freqs(sf_dir: str):
     )
 
 
+def q_link_components(sf_dir: str):
+    """Weakly-connected components of the link graph — reuses the
+    distributed min-label propagation built for near-dup clustering
+    (stages/dedup.connected_components: pointer-doubling bucketed
+    joins, no driver label map, strict non-convergence raise).
+    Rows-only (iterative); ground truth vs single-process union-find
+    in tests/test_ground_truth.py.  Returns per-component sizes
+    (component = min node id)."""
+    import ray.data as _rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.dedup import connected_components
+
+    web = demo_web(n_sites=4, n_pages=200, seed=42)
+    edges = link_edges(web)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        df = pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+        return table_from_pandas(df)
+
+    labels = connected_components(
+        _rd.from_arrow(edges).map_batches(canon, batch_format="pyarrow")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("label", as_index=False).size()
+        g = g.rename(columns={"label": "component", "size": "n_nodes"})
+        return table_from_pandas(g)
+
+    return (
+        labels.map_batches(partial, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+
+
 def q_link_triangles(sf_dir: str):
     """Exact triangle count over the synthetic web's link graph
     (stages/graph.triangle_count — degree-ordered wedge join: orient
@@ -5884,5 +5926,6 @@ QUERIES = {
     "interleaved_spans": q_interleaved_spans,
     "link_pagerank": q_link_pagerank,
     "link_triangles": q_link_triangles,
+    "link_components": q_link_components,
     "cm_token_freqs": q_cm_token_freqs,
 }

@@ -1330,3 +1330,47 @@ def test_pagerank_bucketed_matches_broadcast(ray_session):
     assert np.allclose(
         a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=1e-9, atol=1e-12
     )
+
+
+def test_link_components_ground_truth(ray_session):
+    """Link-graph weakly-connected components vs driver union-find on
+    the same edge table (component sizes and count must agree)."""
+    from crawler_ray.pipelines.queries import q_link_components
+    from crawler_ray.sources.synth import demo_web, link_edges
+
+    web = demo_web(n_sites=4, n_pages=200, seed=42)
+    edges = link_edges(web)
+    n = sum(s.n_pages for s in web.sites.values())
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        if s != d:
+            a, b = find(s), find(d)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    from collections import Counter
+
+    truth = Counter(find(x) for x in range(n))
+    # engine labels only nodes that appear in edges; isolated nodes
+    # (if any) are absent from both edge-derived sides
+    in_edges = set(edges["src"].to_pylist()) | set(edges["dst"].to_pylist())
+    truth_sizes = sorted(
+        sum(1 for x in range(n) if find(x) == c and x in in_edges)
+        for c in set(find(x) for x in in_edges)
+    )
+
+    got = (
+        q_link_components("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    assert sorted(got["n_nodes"]) == truth_sizes
+    assert int(got["n_nodes"].sum()) == len(in_edges)
