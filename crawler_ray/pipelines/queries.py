@@ -5089,6 +5089,32 @@ def q_link_components(sf_dir: str):
     )
 
 
+def q_link_distances(sf_dir: str):
+    """Multi-source BFS hop distance from the seed pages (page 0 of
+    every site — the crawl-depth analytic: how deep each page sits
+    behind the seed list).  stages/graph.bfs_distances: broadcast
+    distance vector under the byte budget, edge table map_batches-only,
+    one grouped-Min shuffle per sweep, early stop at convergence.
+    Rows-only; ground truth vs single-process BFS in
+    tests/test_ground_truth.py.  Returns the distance histogram."""
+    import ray.data as _rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.graph import bfs_distances
+
+    web = demo_web(n_sites=4, n_pages=200, seed=42)
+    edges = link_edges(web)
+    hosts = sorted(web.sites)
+    seeds, off = [], 0
+    for h in hosts:
+        seeds.append(off)  # page 0 of each site is its seed
+        off += web.sites[h].n_pages
+    dist = bfs_distances(_rd.from_arrow(edges), off, seeds)
+    hist = dist.groupby("dist", as_index=False).size()
+    hist = hist.rename(columns={"size": "n_nodes"}).sort_values("dist")
+    return hist.reset_index(drop=True)
+
+
 def q_link_triangles(sf_dir: str):
     """Exact triangle count over the synthetic web's link graph
     (stages/graph.triangle_count — degree-ordered wedge join: orient
@@ -5927,5 +5953,6 @@ QUERIES = {
     "link_pagerank": q_link_pagerank,
     "link_triangles": q_link_triangles,
     "link_components": q_link_components,
+    "link_distances": q_link_distances,
     "cm_token_freqs": q_cm_token_freqs,
 }

@@ -538,3 +538,89 @@ def pagerank_bucketed(
         return batch.select(["node", "rank"])
 
     return state.map_batches(project, batch_format="pyarrow")
+
+
+def bfs_distances(
+    edges: Dataset,
+    n_nodes: int,
+    seeds: list[int],
+    *,
+    max_iter: int = 64,
+    budget_bytes: int = PAGERANK_BUDGET_BYTES,
+) -> pd.DataFrame:
+    """Multi-source BFS hop distances over the edge table (the crawl-
+    depth analytic: how many link hops from the seed set).  Same
+    broadcast discipline as :func:`pagerank`: the node-scale distance
+    vector is numpy under the byte budget (RAISES over budget — the
+    bucketed co-group shape of :func:`pagerank_bucketed` is the
+    scale-out path), the EDGE table is only ever ``map_batches``'d, and
+    each round's one shuffle carries ≤ distinct-dst-per-block rows.
+    Rounds stop as soon as a sweep relaxes nothing (≤ diameter + 1
+    sweeps); unreachable nodes report -1."""
+    if 8 * n_nodes > budget_bytes:
+        raise ValueError(
+            f"bfs_distances node state (8×{n_nodes} B) exceeds the "
+            f"{budget_bytes >> 20} MiB budget — iterate with distances "
+            "as a hash-bucketed Dataset (the pagerank_bucketed co-group "
+            "shape) instead of the broadcast vector"
+        )
+    INF = np.int64(np.iinfo(np.int64).max // 2)
+    dist = np.full(n_nodes, INF, dtype=np.int64)
+    for s in seeds:
+        if not (0 <= s < n_nodes):
+            raise ValueError(f"seed {s} outside [0, {n_nodes})")
+        dist[s] = 0
+
+    for _ in range(max_iter):
+        d_ref = ray.put(dist)
+
+        def relax_partial(batch: pa.Table) -> pa.Table:
+            d = ray.get(d_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            cand = d[src] + 1
+            better = cand < d[dst]
+            if not better.any():
+                return pa.table(
+                    {
+                        "node": pa.array([], type=pa.int64()),
+                        "d": pa.array([], type=pa.int64()),
+                    }
+                )
+            u, idx = np.unique(dst[better], return_inverse=True)
+            best = np.full(len(u), int(INF), dtype=np.int64)
+            np.minimum.at(best, idx, cand[better])
+            return pa.table(
+                {
+                    "node": pa.array(u, type=pa.int64()),
+                    "d": pa.array(best, type=pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Min as _Min
+
+        rows = (
+            edges.map_batches(relax_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(_Min("d", alias_name="d"))
+            .to_pandas()  # ≤ relaxed nodes — inside the declared budget
+        )
+        if not len(rows):
+            break
+        nodes = rows["node"].to_numpy()
+        vals = rows["d"].to_numpy()
+        improved = vals < dist[nodes]
+        if not improved.any():
+            break
+        dist[nodes[improved]] = vals[improved]
+    else:
+        raise ValueError(
+            f"bfs_distances did not converge in max_iter={max_iter} sweeps "
+            "— raise max_iter for graphs of larger diameter"
+        )
+
+    out = dist.copy()
+    out[out >= INF] = -1
+    return pd.DataFrame(
+        {"node": np.arange(n_nodes, dtype=np.int64), "dist": out}
+    )

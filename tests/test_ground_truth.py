@@ -1374,3 +1374,47 @@ def test_link_components_ground_truth(ray_session):
     )
     assert sorted(got["n_nodes"]) == truth_sizes
     assert int(got["n_nodes"].sum()) == len(in_edges)
+
+
+def test_bfs_distances_ground_truth(ray_session):
+    """Distributed BFS vs single-process BFS on the link graph
+    (multi-source, unreachable = -1), plus the budget raise."""
+    from collections import deque
+
+    import pytest
+    import ray.data as rd
+
+    from crawler_ray.sources.synth import demo_web, link_edges
+    from crawler_ray.stages.graph import bfs_distances
+
+    web = demo_web(n_sites=4, n_pages=200, seed=42)
+    edges = link_edges(web)
+    hosts = sorted(web.sites)
+    seeds, off = [], 0
+    for h in hosts:
+        seeds.append(off)
+        off += web.sites[h].n_pages
+
+    adj = [[] for _ in range(off)]
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        adj[s].append(d)
+    truth = [-1] * off
+    q = deque()
+    for s in seeds:
+        truth[s] = 0
+        q.append(s)
+    while q:
+        v = q.popleft()
+        for w in adj[v]:
+            if truth[w] == -1:
+                truth[w] = truth[v] + 1
+                q.append(w)
+
+    got = bfs_distances(rd.from_arrow(edges), off, seeds)
+    assert list(got["node"]) == list(range(off))
+    assert list(got["dist"]) == truth
+
+    with pytest.raises(ValueError, match="pagerank_bucketed"):
+        bfs_distances(
+            rd.from_items([{"src": 0, "dst": 1}]), 10**9, [0], budget_bytes=1 << 20
+        )
