@@ -5016,6 +5016,78 @@ def q_props_value_stats(sf_dir: str):
     )
 
 
+def q_dup_paragraph_ratio(sf_dir: str):
+    """Per-document duplicated-paragraph ratio (the Dolma/Gopher
+    paragraph-dedup signal: what fraction of a doc's paragraphs also
+    appear in OTHER documents).  One shuffle total: paragraph
+    occurrences co-locate by paragraph-hash partition — a paragraph's
+    every occurrence lands in one partition, so 'appears in ≥ 2
+    distinct docs' is decided there with one vectorized nunique, and
+    per-doc (n_para, n_dup) partials flow to a tiny grouped sum.
+    Blank/whitespace paragraphs are excluded on both sides; the ratio
+    is one double division of exact counts."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, paras = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for p in (t or "").split("\n"):
+                if p.strip(" \t\r"):  # exact twin of the SQL trim set
+                    ids.append(d)
+                    paras.append(p)
+        if not paras:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "para": pa.array([], type=pa.string()),
+                    "pkey": pa.array([], type=pa.int64()),
+                }
+            )
+        out = pd.DataFrame({"doc_id": ids, "para": paras})
+        out["pkey"] = hash_pkey(out["para"].to_numpy(dtype=object), 256)
+        return table_from_pandas(out)
+
+    def mark(g: pd.DataFrame) -> pa.Table:
+        ndocs = g.groupby("para")["doc_id"].nunique()
+        dup = g["para"].map(ndocs).to_numpy() > 1
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_para": np.int64(1),
+                "n_dup": dup.astype(np.int64),
+            }
+        )
+        p = out.groupby("doc_id", as_index=False).agg(
+            n_para=("n_para", "sum"), n_dup=("n_dup", "sum")
+        )
+        return table_from_pandas(p)
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_para", alias_name="n_para"), Sum("n_dup", alias_name="n_dup")
+        )
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_para": batch["n_para"].cast(pa.int64()),
+                "n_dup": batch["n_dup"].cast(pa.int64()),
+                "dup_ratio": pc.divide(
+                    batch["n_dup"].cast(pa.float64()),
+                    batch["n_para"].cast(pa.float64()),
+                ),
+            }
+        )
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
 CM_QUERY_DOCS = 5  # query tokens drawn from the first docs (deterministic)
 
 
@@ -5224,6 +5296,19 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT token, CAST(MAX(df) AS BIGINT) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
         f"FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY token"
+    ),
+    "dup_paragraph_ratio": (
+        "WITH para AS (SELECT doc_id, unnest(string_split(text, chr(10)))"
+        " AS p FROM documents), "
+        "kept AS (SELECT doc_id, p FROM para"
+        " WHERE length(trim(p, ' \t\r')) > 0), "
+        "nd AS (SELECT p, COUNT(DISTINCT doc_id) AS ndocs FROM kept GROUP BY p) "
+        "SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_para, "
+        "CAST(SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_dup, "
+        "CAST(SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / "
+        "COUNT(*) AS dup_ratio "
+        "FROM kept k JOIN nd ON k.p = nd.p GROUP BY k.doc_id"
     ),
     "props_value_stats": (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
@@ -5929,6 +6014,7 @@ QUERIES = {
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "events_heatmap": q_events_heatmap,
     "props_value_stats": q_props_value_stats,
+    "dup_paragraph_ratio": q_dup_paragraph_ratio,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,

@@ -581,3 +581,33 @@ def test_props_value_stats_fallback_and_nulls(ray_session, tmp_path):
     assert int(got["n"].iloc[0]) == 6
     assert int(got["n_k"].iloc[0]) == 3
     assert int(got["sum_k"].iloc[0]) == 15
+
+
+def test_dup_paragraph_ratio_semantics(ray_session, tmp_path):
+    """Within-doc repeats do NOT make a paragraph 'duplicated' (the
+    signal is cross-document); blank paragraphs are excluded; every
+    occurrence counts in the denominator."""
+    from crawler_ray.pipelines.queries import q_dup_paragraph_ratio
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [
+                "shared\nunique-one\n\nshared",  # shared x2 + 1 unique + blank
+                "shared\nunique-two",
+                "solo\nsolo",  # repeated WITHIN one doc only -> not dup
+            ],
+        }
+    )
+    _write(tmp_path, "documents", docs)
+
+    got = (
+        q_dup_paragraph_ratio(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_para"]) == [3, 2, 2]
+    assert list(got["n_dup"]) == [2, 1, 0]
+    assert abs(got["dup_ratio"].iloc[0] - 2 / 3) < 1e-12
+    assert got["dup_ratio"].iloc[2] == 0.0
