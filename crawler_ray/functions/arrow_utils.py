@@ -33,16 +33,28 @@ def hash_pkey(values, n_parts: int):
     array — THE repo idiom for hash co-location (`groupby("pkey")` +
     vectorized per-partition combine).
 
-    Integer arrays hash directly; anything else goes through the
-    object path with ``categorize=False`` pinned (pandas 2.2's
-    categorize path is value-UNSTABLE on object arrays: the same
-    string can hash differently inside different arrays, silently
-    splitting a key across partitions)."""
+    Integer arrays hash directly.  FLOAT arrays are normalized to
+    int64 first (raising on non-integral / non-finite values): arrow
+    nullable-int columns surface as float64 via ``to_numpy``, and
+    hashing 12345.0 through the object path while another batch hashes
+    int64 12345 would silently split one logical key across
+    partitions.  Anything else goes through the object path with
+    ``categorize=False`` pinned (pandas 2.2's categorize path is
+    value-UNSTABLE on object arrays: the same string can hash
+    differently inside different arrays)."""
     import numpy as np
     import pandas as pd
 
     arr = np.asarray(values)
-    if arr.dtype.kind in ("i", "u"):
+    if arr.dtype.kind == "f":
+        if len(arr) and (not np.isfinite(arr).all() or (arr != np.floor(arr)).any()):
+            raise ValueError(
+                "hash_pkey got a float array with NaN/inf or non-integral "
+                "values — a null-bearing int column? drop/fill nulls before "
+                "partitioning (silent float hashing would split keys)"
+            )
+        arr = arr.astype(np.int64)
+    if arr.dtype.kind in ("i", "u", "b"):
         h = pd.util.hash_array(arr.astype(np.int64))
     else:
         h = pd.util.hash_array(arr.astype(object), categorize=False)
@@ -94,3 +106,22 @@ def segment_pairs(group_keys, values, max_width: int, label: str):
         np.concatenate(a_l).astype(np.int64),
         np.concatenate(b_l).astype(np.int64),
     )
+
+
+def canonical_undirected_edges(batch, src_col: str, dst_col: str, a_col: str, b_col: str):
+    """Canonicalize a directed edge batch to unique undirected pairs:
+    self-loops dropped, endpoints ordered low→high, within-batch
+    duplicates collapsed.  Shared by the triangle counter and the
+    link-components query (single copy of the keep/min/max/dedup
+    sequence).  Returns a pandas DataFrame with columns
+    (``a_col``, ``b_col``)."""
+    import numpy as np
+    import pandas as pd
+
+    s = batch[src_col].to_numpy(zero_copy_only=False)
+    d = batch[dst_col].to_numpy(zero_copy_only=False)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    return pd.DataFrame(
+        {a_col: np.minimum(s, d), b_col: np.maximum(s, d)}
+    ).drop_duplicates()

@@ -5136,13 +5136,11 @@ def q_link_components(sf_dir: str):
     edges = link_edges(web)
 
     def canon(batch: pa.Table) -> pa.Table:
-        s = batch["src"].to_numpy(zero_copy_only=False)
-        d = batch["dst"].to_numpy(zero_copy_only=False)
-        keep = s != d
-        lo = np.minimum(s[keep], d[keep])
-        hi = np.maximum(s[keep], d[keep])
-        df = pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
-        return table_from_pandas(df)
+        from crawler_ray.functions.arrow_utils import canonical_undirected_edges
+
+        return table_from_pandas(
+            canonical_undirected_edges(batch, "src", "dst", "id_a", "id_b")
+        )
 
     labels = connected_components(
         _rd.from_arrow(edges).map_batches(canon, batch_format="pyarrow")

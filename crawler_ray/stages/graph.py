@@ -169,14 +169,12 @@ def triangle_count(
         )
 
     def canon(batch: pa.Table) -> pa.Table:
-        s = batch["src"].to_numpy(zero_copy_only=False)
-        d = batch["dst"].to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        lo, hi = np.minimum(s, d), np.maximum(s, d)
-        df = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
-        from crawler_ray.functions.arrow_utils import hash_pkey
+        from crawler_ray.functions.arrow_utils import (
+            canonical_undirected_edges,
+            hash_pkey,
+        )
 
+        df = canonical_undirected_edges(batch, "src", "dst", "u", "v")
         df["pkey"] = hash_pkey(
             df["u"].to_numpy() * np.int64(2654435761) + df["v"].to_numpy(), n_parts
         )
@@ -352,6 +350,10 @@ def pagerank_bucketed(
     def deg_partial(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)
         u, c = np.unique(src, return_counts=True)
+        if len(u) and (u.min() < 0 or u.max() >= n_nodes):
+            raise ValueError(
+                f"edge src ids must be dense in [0, {n_nodes}) — relabel first"
+            )
         return pa.table(
             {
                 "node": pa.array(u, type=pa.int64()),
@@ -376,6 +378,11 @@ def pagerank_bucketed(
         m = g.groupby("node", as_index=False).agg(deg=("deg", "sum"))
         deg = m["deg"].to_numpy()
         inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+        # carry the bucket (pure function of node, computed ONCE here):
+        # re-hashing the node-scale state 2x per iteration would cost
+        # ~2 x n_iter x n_nodes redundant hashes on the giant graphs
+        # this function exists for
+        bkt = int(g["bucket"].iloc[0])
         return pa.table(
             {
                 "node": pa.array(m["node"], type=pa.int64()),
@@ -383,6 +390,9 @@ def pagerank_bucketed(
                     np.full(len(m), 1.0 / n_nodes), type=pa.float64()
                 ),
                 "inv": pa.array(inv, type=pa.float64()),
+                "bucket": pa.array(
+                    np.full(len(m), bkt, dtype=np.int64), type=pa.int64()
+                ),
             }
         )
 
@@ -396,14 +406,26 @@ def pagerank_bucketed(
     )
 
     def tag_edges(batch: pa.Table) -> pa.Table:
+        # dst_bucket computed once here (edges_b is materialized), so
+        # per-iteration contribution rows inherit it instead of
+        # re-hashing edge-scale dst arrays every sweep
         src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        # same dense-id contract as the broadcast pagerank's guard —
+        # out-of-range ids would silently seed phantom state nodes
+        # (mass > 1) or drop contribution mass in the fold
+        for name, a in (("src", src), ("dst", dst)):
+            if len(a) and (a.min() < 0 or a.max() >= n_nodes):
+                raise ValueError(
+                    f"edge {name} ids must be dense in [0, {n_nodes}) — "
+                    "relabel first"
+                )
         return pa.table(
             {
                 "src": pa.array(src, type=pa.int64()),
-                "dst": pa.array(
-                    batch["dst"].to_numpy(zero_copy_only=False), type=pa.int64()
-                ),
+                "dst": pa.array(dst, type=pa.int64()),
                 "bucket": pa.array(hash_pkey(src, n_buckets), type=pa.int64()),
+                "dst_bucket": pa.array(hash_pkey(dst, n_buckets), type=pa.int64()),
             }
         )
 
@@ -417,14 +439,12 @@ def pagerank_bucketed(
         n = batch.num_rows
         return pa.table(
             {
-                "bucket": pa.array(
-                    hash_pkey(batch["node"].to_numpy(zero_copy_only=False), n_buckets),
-                    type=pa.int64(),
-                ),
+                "bucket": batch["bucket"].cast(pa.int64()),  # carried, not re-hashed
                 "node": batch["node"].cast(pa.int64()),
                 "rank": batch["rank"].cast(pa.float64()),
                 "inv": batch["inv"].cast(pa.float64()),
                 "dst": pa.array(np.full(n, -1, dtype=np.int64)),
+                "dstb": pa.array(np.full(n, -1, dtype=np.int64)),
                 "is_a": pa.array(np.ones(n, dtype=bool)),
             }
         )
@@ -439,6 +459,7 @@ def pagerank_bucketed(
                 "rank": z,
                 "inv": z,
                 "dst": batch["dst"].cast(pa.int64()),
+                "dstb": batch["dst_bucket"].cast(pa.int64()),
                 "is_a": pa.array(np.zeros(n, dtype=bool)),
             }
         )
@@ -468,18 +489,26 @@ def pagerank_bucketed(
                     {
                         "node": pa.array([], type=pa.int64()),
                         "c": pa.array([], type=pa.float64()),
+                        "bucket": pa.array([], type=pa.int64()),
                     }
                 )
             w = pd.Series(
                 (a["rank"] * a["inv"]).to_numpy(), index=a["node"].to_numpy()
             )
             we = e["node"].map(w).to_numpy()  # weight of each edge's src
-            u, idx = np.unique(e["dst"].to_numpy(), return_inverse=True)
+            dst = e["dst"].to_numpy()
+            u, first, idx = np.unique(dst, return_index=True, return_inverse=True)
             c = np.bincount(idx, weights=we)
             return pa.table(
                 {
                     "node": pa.array(u, type=pa.int64()),
                     "c": pa.array(c, type=pa.float64()),
+                    # dst bucket carried from the edge rows (hash of a
+                    # pure function of node — identical at every
+                    # occurrence, so taking the first is exact)
+                    "bucket": pa.array(
+                        e["dstb"].to_numpy()[first], type=pa.int64()
+                    ),
                 }
             )
 
@@ -494,16 +523,12 @@ def pagerank_bucketed(
             n = batch.num_rows
             return pa.table(
                 {
-                    "bucket": pa.array(
-                        hash_pkey(
-                            batch["node"].to_numpy(zero_copy_only=False), n_buckets
-                        ),
-                        type=pa.int64(),
-                    ),
+                    "bucket": batch["bucket"].cast(pa.int64()),  # carried
                     "node": batch["node"].cast(pa.int64()),
                     "rank": pa.array(np.zeros(n), type=pa.float64()),
                     "inv": batch["c"].cast(pa.float64()),  # carry c in inv slot
                     "dst": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "dstb": pa.array(np.full(n, -1, dtype=np.int64)),
                     "is_a": pa.array(np.zeros(n, dtype=bool)),
                 }
             )
@@ -523,6 +548,7 @@ def pagerank_bucketed(
                     "node": pa.array(a["node"], type=pa.int64()),
                     "rank": pa.array(new_rank, type=pa.float64()),
                     "inv": pa.array(a["inv"], type=pa.float64()),
+                    "bucket": pa.array(a["bucket"], type=pa.int64()),
                 }
             )
 
@@ -578,6 +604,13 @@ def bfs_distances(
             d = ray.get(d_ref)
             src = batch["src"].to_numpy(zero_copy_only=False)
             dst = batch["dst"].to_numpy(zero_copy_only=False)
+            for name, a in (("src", src), ("dst", dst)):
+                if len(a) and (a.min() < 0 or a.max() >= n_nodes):
+                    raise ValueError(
+                        f"edge {name} ids must be dense in [0, {n_nodes}) — "
+                        "negative ids would wrap via numpy indexing and "
+                        "corrupt distances silently"
+                    )
             cand = d[src] + 1
             better = cand < d[dst]
             if not better.any():
