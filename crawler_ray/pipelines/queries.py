@@ -2272,6 +2272,86 @@ def q_doc_cume_dist(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- 9g2
+def q_doc_percent_rank(sf_dir: str):
+    """PERCENT_RANK per source over n_chars ascending — the fourth
+    member of the bounded two-pass window-rank family (NTILE,
+    DENSE_RANK, CUME_DIST, PERCENT_RANK all share the histogram shape;
+    no pandas group ever holds a whole source):
+
+    1. row counts per (source, n_chars >> shift) bucket → driver
+       computes rows-below-bucket + per-source totals (state ≤
+       |buckets| × |sources|);
+    2. second scan co-located by hash((source, bucket)) % 256; within a
+       bucket the tie-exclusive rank is pandas rank(method='min'), and
+       percent_rank = (rows_below + rank_min - 1) / (n - 1) — one
+       double division of exact ints, bit-equal across engines
+       (SQL defines the n == 1 partition as 0.0; guarded the same)."""
+    shift = DENSE_RANK_BUCKET_SHIFT
+    part_schema = pa.schema(
+        [("source", pa.string()), ("bucket", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        g = df.groupby(["source", "bucket"], as_index=False).agg(n=("bucket", "size"))
+        return table_from_pandas(g).cast(part_schema)
+
+    hist = (
+        _doc(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |buckets| × |sources| rows by design
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    hist["rows_below"] = hist.groupby("source")["n"].cumsum() - hist["n"]
+    rb = hist[["source", "bucket", "rows_below"]]
+    n_map = hist.groupby("source")["n"].sum().to_dict()
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["n_chars"].to_numpy() >> shift
+        df["pkey"] = (
+            pd.util.hash_array(
+                (df["source"] + ":" + df["bucket"].astype(str)).to_numpy(
+                    dtype=object
+                ),
+                categorize=False,
+            )
+            % np.uint64(256)
+        ).astype(np.int64)
+        return table_from_pandas(df)
+
+    def prank(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["source", "bucket", "n_chars"])
+        rank_min = (
+            g.groupby(["source", "bucket"], sort=False)["n_chars"]
+            .rank(method="min")
+            .to_numpy()
+        )
+        m = g.merge(rb, on=["source", "bucket"], how="left")
+        n = g["source"].map(n_map).to_numpy(dtype=np.float64)
+        num = m["rows_below"].to_numpy() + rank_min - 1.0
+        pr = np.where(n > 1.0, num / np.maximum(n - 1.0, 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+                "source": pa.array(g["source"], type=pa.string()),
+                "pr": pa.array(pr, type=pa.float64()),
+            }
+        )
+
+    return (
+        _doc(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(prank, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- 9h
 TFIDF_TOPK = 5
 TFIDF_MICRO = 1_000_000
@@ -5670,6 +5750,10 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, source, CUME_DIST() OVER ("
         "PARTITION BY source ORDER BY n_chars) AS cd FROM documents"
     ),
+    "doc_percent_rank": (
+        "SELECT doc_id, source, PERCENT_RANK() OVER ("
+        "PARTITION BY source ORDER BY n_chars) AS pr FROM documents"
+    ),
     "tfidf_top_terms": (
         "WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), "
         "'[a-z0-9_]+')) AS token FROM documents), "
@@ -5988,6 +6072,7 @@ QUERIES = {
     "recent_lineitems": q_recent_lineitems,
     "salted_hot_key_agg": q_salted_hot_key_agg,
     "doc_cume_dist": q_doc_cume_dist,
+    "doc_percent_rank": q_doc_percent_rank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_signals": q_repetition_signals,
     "order_price_bands": q_order_price_bands,
