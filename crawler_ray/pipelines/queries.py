@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from crawler_ray.functions.arrow_utils import hash_pkey, strip_md, table_from_pandas
 from crawler_ray.functions.textops import content_quality
@@ -1352,6 +1352,97 @@ def q_order_lineitem_join(sf_dir: str):
             Sum("n_items", alias_name="n_items"),
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
+    )
+
+
+LATE_SHIP_US = 30 * 86_400 * 1_000_000  # EXISTS predicate horizon: 30 days
+
+
+def q_orders_with_late_items(sf_dir: str):
+    """TPC-H Q4 shape — correlated EXISTS with a predicate that
+    compares columns from BOTH sides (l_shipdate > o_orderdate + 30d),
+    then a grouped count by priority.  The EXISTS collapses to a
+    per-orderkey MAX reduce (EXISTS(ship > cutoff) ⇔ max(ship) >
+    cutoff), so no row explosion:
+
+    - lineitem → per-batch partial max(ship) per orderkey → grouped
+      Max (shuffle carries ≤ |orders| rows, not |lineitem|);
+    - bucketed hash join with orders on orderkey (both sides large);
+    - timestamp compare in exact int64 epoch-micros; final count is a
+      5-group map-side partial → Sum."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial_max(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "okey": batch["l_orderkey"],
+                "ship_us": batch["l_shipdate"].cast(pa.int64()),
+            }
+        ).to_pandas()
+        g = df.groupby("okey", as_index=False).agg(ship_us=("ship_us", "max"))
+        return table_from_pandas(g)
+
+    max_ship = (
+        li.map_batches(li_partial_max, batch_format="pyarrow")
+        .groupby("okey")
+        .aggregate(Max("ship_us", alias_name="ship_us"))
+    )
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "odate_us": t["o_orderdate"].cast(pa.int64()),
+                "priority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        max_ship,
+        orders,
+        key="okey",
+        n_buckets=16,
+        left_schema=pa.schema([("okey", pa.int64()), ("ship_us", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("okey", pa.int64()),
+                ("odate_us", pa.int64()),
+                ("priority", pa.string()),
+            ]
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # the bucketed join's union promotes int64→float64 (null fill);
+        # epoch-micros < 2^53 stay exact — cast back before comparing
+        ship = df["ship_us"].astype(np.int64)
+        odate = df["odate_us"].astype(np.int64)
+        late = df[ship > odate + LATE_SHIP_US]
+        g = late.groupby("priority", as_index=False).agg(
+            order_count=("priority", "size")
+        )
+        return table_from_pandas(g)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["priority"],
+                "order_count": batch["order_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -5481,6 +5572,13 @@ ORACLE_SQL: dict[str, str] = {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
     ),
+    "orders_with_late_items": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+        "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) "
+        "GROUP BY o_orderpriority"
+    ),
     "native_join": (
         "SELECT n.n_name, COUNT(*) AS n_suppliers, "
         "CAST(SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents "
@@ -6020,6 +6118,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "nation_order_stats": q_nation_order_stats,
     "order_lineitem_join": q_order_lineitem_join,
+    "orders_with_late_items": q_orders_with_late_items,
     "native_join": q_native_join,
     "asof_prior_view": q_asof_prior_view,
     "lineitem_agg": q_lineitem_agg,
