@@ -1357,6 +1357,76 @@ def q_order_lineitem_join(sf_dir: str):
 
 LATE_SHIP_US = 30 * 86_400 * 1_000_000  # EXISTS predicate horizon: 30 days
 
+# prefix-scan time buckets: 2^40 us ≈ 12.7 days per bucket — bounds the
+# per-bucket group at (rows per ~2 weeks); widen/narrow the shift to
+# retune co-located group size vs driver histogram size (≤ |buckets|).
+SCAN_BUCKET_SHIFT = 40
+
+
+def q_cumulative_revenue(sf_dir: str):
+    """GLOBAL running total — SUM(price) OVER (ORDER BY o_orderdate,
+    o_orderkey ROWS UNBOUNDED PRECEDING) with NO partition key: the
+    distributed prefix-scan primitive.  A naive window would sort the
+    whole table into one ordered stream; this is the two-pass bucket
+    histogram instead (the rank-family shape, extended from counts to
+    sums):
+
+    1. per-(date >> 40) bucket partial SUMs → grouped Sum → driver
+       prefix offsets (state ≤ |buckets| rows — weeks, not orders);
+    2. second scan co-located by bucket; within a bucket the exact
+       int64-cents cumsum over the (date, orderkey) sort, plus the
+       bucket's offset, is the global running total — no global sort,
+       largest co-located unit is one time bucket."""
+    shift = SCAN_BUCKET_SHIFT
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        date_us = batch["o_orderdate"].cast(pa.int64())
+        return pa.table(
+            {
+                "okey": batch["o_orderkey"],
+                "date_us": date_us,
+                "cents": pa.array(cents),
+                "bucket": pc.shift_right(date_us, shift),
+            }
+        )
+
+    base = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("bucket", as_index=False).agg(s=("cents", "sum"))
+        return table_from_pandas(g)
+
+    hist = (
+        base.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()  # ≤ |time buckets| rows by design
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    hist["offset"] = hist["s"].cumsum() - hist["s"]
+    offsets = dict(zip(hist["bucket"], hist["offset"].astype(np.int64)))
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["date_us", "okey"])
+        cum = g["cents"].to_numpy(dtype=np.int64).cumsum()
+        cum += offsets[int(g["bucket"].iloc[0])]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["okey"].to_numpy(), type=pa.int64()),
+                "cum_cents": pa.array(cum, type=pa.int64()),
+            }
+        )
+
+    return base.groupby("bucket").map_groups(scan, batch_format="pandas")
+
 
 def q_orders_with_late_items(sf_dir: str):
     """TPC-H Q4 shape — correlated EXISTS with a predicate that
@@ -5572,6 +5642,11 @@ ORACLE_SQL: dict[str, str] = {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
     ),
+    "cumulative_revenue": (
+        "SELECT o_orderkey, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) "
+        "OVER (ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cum_cents FROM orders"
+    ),
     "orders_with_late_items": (
         "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
         "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
@@ -6119,6 +6194,7 @@ QUERIES = {
     "nation_order_stats": q_nation_order_stats,
     "order_lineitem_join": q_order_lineitem_join,
     "orders_with_late_items": q_orders_with_late_items,
+    "cumulative_revenue": q_cumulative_revenue,
     "native_join": q_native_join,
     "asof_prior_view": q_asof_prior_view,
     "lineitem_agg": q_lineitem_agg,
