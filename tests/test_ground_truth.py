@@ -1418,3 +1418,63 @@ def test_bfs_distances_ground_truth(ray_session):
         bfs_distances(
             rd.from_items([{"src": 0, "dst": 1}]), 10**9, [0], budget_bytes=1 << 20
         )
+
+
+def test_cumulative_revenue_ground_truth(ray_session, tmp_path):
+    """Global prefix-scan edge cases the sf orders can't isolate:
+    dates straddling a 2^SCAN_BUCKET_SHIFT-us bucket boundary (the
+    driver offset must carry across), duplicate dates (tie broken by
+    o_orderkey), and an empty leading bucket gap.  Bit-equal vs the
+    single-process int64-cents cumsum and the DuckDB window twin."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import (
+        ORACLE_SQL,
+        SCAN_BUCKET_SHIFT,
+        q_cumulative_revenue,
+    )
+
+    w_us = 1 << SCAN_BUCKET_SHIFT  # bucket width in microseconds
+    # rows deliberately out of insertion order vs (date, key) order
+    rows = [
+        # (o_orderkey, date_us, o_totalprice)
+        (5, 3 * w_us + 17, 1.01),  # later bucket after a gap (bucket 3)
+        (2, w_us - 1, 2.50),  # last us of bucket 0
+        (1, w_us - 1, 0.07),  # duplicate date: key 1 must rank first
+        (3, w_us, 10.00),  # first us of bucket 1 (boundary straddle)
+        (4, w_us + 5, 4.99),
+    ]
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "date_us", "o_totalprice"])
+    pdf["o_orderdate"] = pd.to_datetime(pdf["date_us"], unit="us")
+    pdf[["o_orderkey", "o_orderdate", "o_totalprice"]].to_parquet(
+        tmp_path / "orders.parquet"
+    )
+
+    got = (
+        q_cumulative_revenue(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    cum, truth = 0, {}
+    for k, _, price in ordered:
+        cum += int(round(price * 100))
+        truth[k] = cum
+    assert list(got["o_orderkey"]) == [1, 2, 3, 4, 5]
+    assert [truth[k] for k in got["o_orderkey"]] == list(got["cum_cents"])
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    oracle = (
+        con.execute(ORACLE_SQL["cumulative_revenue"])
+        .df()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert list(oracle["cum_cents"]) == list(got["cum_cents"])
