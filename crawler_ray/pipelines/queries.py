@@ -3475,6 +3475,66 @@ def q_rolling_value_sum(sf_dir: str):
     )
 
 
+TIME_WINDOW_US = 3_600 * 1_000_000  # RANGE frame width: trailing 1 hour
+
+
+def q_user_time_window_sum(sf_dir: str):
+    """Time-based RANGE window frame — SUM(value) OVER (PARTITION BY
+    user ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW): the VARIABLE-width frame the ROWS family
+    (q_rolling_value_sum / q_user_rolling_avg) can't express — each
+    row's frame holds however many events fall in its trailing hour,
+    and equal-ts peers are in-frame regardless of order (RANGE
+    semantics; ORDER BY ts alone, no tiebreaker, per the SQL frame
+    rules).  Same bounded hash-partition shuffle as q_sessionize; per
+    partition one pass: sort by (user, ts), prefix-sum of integer
+    cents, then per USER segment two vectorized ``searchsorted`` calls
+    resolve every row's frame [ts − 1 h, ts] as
+    ``prefix[right] − prefix[left]`` (left: first ts ≥ cur − 1 h;
+    right: ``side='right'`` on cur ts, which is what includes peers).
+    The loop is per user segment with vectorized interiors — the
+    sessionize discipline, never per row."""
+    ds = _read(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (
+            pd.util.hash_array(
+                batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            % np.uint64(WINDOW_HASH_PARTITIONS)
+        ).astype(np.int64)
+        return batch.append_column("pkey", pa.array(pk))
+
+    def window_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        prefix = np.concatenate(([0], np.cumsum(cents)))
+        users = g["user_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, users[1:] != users[:-1], True])
+        out = np.empty(len(g), dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - TIME_WINDOW_US, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = prefix[s + hi] - prefix[s + lo]
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), type=pa.int64()),
+                "window_cents": pa.array(out),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- 11b
 def q_nation_overlap(sf_dir: str):
     """INTERSECT: nation keys present in BOTH customer and supplier —
@@ -5329,6 +5389,80 @@ def q_dup_paragraph_ratio(sf_dir: str):
     return agg.map_batches(ratio, batch_format="pyarrow")
 
 
+# reassembly-side partition fan-out for q_paragraph_dedup: survivors
+# co-locate by hash(doc) % THIS, bounded like WINDOW_HASH_PARTITIONS
+PARA_DOC_PARTITIONS = 64
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph-dedup TRANSFORM (Dolma's paragraph-level
+    exact dedup, the rewrite that q_dup_paragraph_ratio only signals):
+    every duplicated paragraph keeps only its FIRST occurrence in
+    (doc_id, position) order; each doc is reassembled from its
+    surviving paragraphs in original order, with blank/whitespace
+    paragraphs excluded on both sides (the ratio query's trim set).
+    Docs that lose every paragraph drop out — the SQL GROUP BY
+    semantics, mirrored exactly.
+
+    Two shuffles, the inherent minimum for this op: (1) occurrences
+    co-locate by paragraph-hash partition — a paragraph's every
+    occurrence lands in one partition, so first-seen is decided there
+    with one vectorized sort + drop_duplicates; (2) survivors
+    co-locate by doc-hash partition for the ordered reassembly.  Both
+    keys are BOUNDED hash partitions (256 / 64), never raw
+    paragraph/doc cardinality."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, paras = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            # position indexes count BLANK paragraphs too (the SQL
+            # twin's range(len(split)) — filtering happens after)
+            for i, p in enumerate((t or "").split("\n")):
+                if p.strip(" \t\r"):  # exact twin of the SQL trim set
+                    ids.append(d)
+                    idxs.append(i)
+                    paras.append(p)
+        if not paras:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "idx": pa.array([], type=pa.int64()),
+                    "para": pa.array([], type=pa.string()),
+                    "pkey": pa.array([], type=pa.int64()),
+                }
+            )
+        out = pd.DataFrame({"doc_id": ids, "idx": idxs, "para": paras})
+        out["pkey"] = hash_pkey(out["para"].to_numpy(dtype=object), 256)
+        return table_from_pandas(out)
+
+    def first_seen(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["para", "doc_id", "idx"]).drop_duplicates(
+            "para", keep="first"
+        )
+        g = g[["doc_id", "idx", "para"]].copy()
+        g["dkey"] = hash_pkey(g["doc_id"].to_numpy(), PARA_DOC_PARTITIONS)
+        return table_from_pandas(g)
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "idx"])
+        out = (
+            g.groupby("doc_id", as_index=False, sort=False).agg(
+                text_dedup=("para", "\n".join), n_kept=("para", "size")
+            )
+        )
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return table_from_pandas(out)
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(first_seen, batch_format="pandas")
+        .groupby("dkey")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
 CM_QUERY_DOCS = 5  # query tokens drawn from the first docs (deterministic)
 
 
@@ -5535,6 +5669,19 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT token, CAST(MAX(df) AS BIGINT) AS df, "
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
         f"FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY token"
+    ),
+    "paragraph_dedup": (
+        "WITH para AS (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS p, "
+        "unnest(range(len(string_split(text, chr(10))))) AS idx "
+        "FROM documents), "
+        "kept AS (SELECT doc_id, idx, p FROM para"
+        " WHERE length(trim(p, ' \t\r')) > 0), "
+        "firsts AS (SELECT doc_id, idx, p, ROW_NUMBER() OVER ("
+        "PARTITION BY p ORDER BY doc_id, idx) AS rn FROM kept) "
+        "SELECT doc_id, string_agg(p, chr(10) ORDER BY idx) AS text_dedup, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept "
+        "FROM firsts WHERE rn = 1 GROUP BY doc_id"
     ),
     "dup_paragraph_ratio": (
         "WITH para AS (SELECT doc_id, unnest(string_split(text, chr(10)))"
@@ -6028,6 +6175,12 @@ ORACLE_SQL: dict[str, str] = {
         + ") b(label, lo, hi) ON o.o_totalprice >= b.lo "
         "AND (b.hi IS NULL OR o.o_totalprice < b.hi) GROUP BY b.label"
     ),
+    "user_time_window_sum": (
+        "SELECT event_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS window_cents FROM events"
+    ),
     "rolling_value_sum": (
         "SELECT event_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id "
@@ -6225,6 +6378,7 @@ QUERIES = {
     "source_doc_list": q_source_doc_list,
     "doc_dense_rank": q_doc_dense_rank,
     "rolling_value_sum": q_rolling_value_sum,
+    "user_time_window_sum": q_user_time_window_sum,
     "nation_overlap": q_nation_overlap,
     "skew_join_docs": q_skew_join_docs,
     "sessionize": q_sessionize,
@@ -6273,6 +6427,7 @@ QUERIES = {
     "events_heatmap": q_events_heatmap,
     "props_value_stats": q_props_value_stats,
     "dup_paragraph_ratio": q_dup_paragraph_ratio,
+    "paragraph_dedup": q_paragraph_dedup,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,

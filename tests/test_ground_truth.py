@@ -1478,3 +1478,129 @@ def test_cumulative_revenue_ground_truth(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert list(oracle["cum_cents"]) == list(got["cum_cents"])
+
+
+def test_user_time_window_sum_ground_truth(ray_session, tmp_path):
+    """RANGE-frame cases the sf events can't isolate: equal-ts PEERS
+    (both must see the full peer sum — RANGE, not ROWS, semantics), a
+    row exactly 1 h after another (inclusive frame start), and one
+    just past it (excluded).  Bit-equal vs a brute-force per-row frame
+    sum and the DuckDB RANGE window twin."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import (
+        ORACLE_SQL,
+        TIME_WINDOW_US,
+        q_user_time_window_sum,
+    )
+
+    h = TIME_WINDOW_US
+    rows = [
+        # (event_id, user_id, ts_us, value)
+        (1, 7, 0, 1.00),
+        (2, 7, h, 2.00),  # exactly 1 h later: frame includes row 1
+        (3, 7, 2 * h + 1, 4.00),  # 1 h + 1 us after row 2: row 2 excluded
+        (4, 7, 3 * h, 8.00),  # peers:
+        (5, 7, 3 * h, 16.00),  # both rows 4+5 see 8+16
+        (6, 9, 3 * h, 32.00),  # other user, same ts: isolated
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts_us"], unit="us")
+    pdf[["event_id", "user_id", "ts", "value"]].to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = (
+        q_user_time_window_sum(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    truth = {}
+    for eid, uid, ts, _ in rows:
+        truth[eid] = sum(
+            int(round(v * 100))
+            for _, u2, t2, v in rows
+            if u2 == uid and ts - h <= t2 <= ts
+        )
+    assert list(got["event_id"]) == [1, 2, 3, 4, 5, 6]
+    assert [truth[e] for e in got["event_id"]] == list(got["window_cents"])
+    # the peer case, explicitly: rows 4+5 (peers, 8+16) plus row 3
+    # (2 h + 1 us = inside the [2 h, 3 h] frame, value 4) = 28.00
+    assert truth[4] == truth[5] == 2800
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = (
+        con.execute(ORACLE_SQL["user_time_window_sum"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(oracle["window_cents"]) == list(got["window_cents"])
+
+
+def test_paragraph_dedup_ground_truth(ray_session, tmp_path):
+    """The sf documents are single-paragraph and fully distinct, so
+    the oracle row is degenerate there; this is the real coverage:
+    multi-paragraph docs with cross-doc AND within-doc duplicate
+    paragraphs, blank lines (excluded but position-counted), a doc
+    that loses every paragraph (must drop out), and first-occurrence
+    priority by (doc_id, position).  Checked vs a single-process
+    recomputation and the DuckDB twin."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import ORACLE_SQL, q_paragraph_dedup
+
+    docs = {
+        1: "alpha\nbeta\n\ngamma\nbeta",  # within-doc dup (beta), blank line
+        2: "beta\ndelta\nalpha",  # cross-doc dups (beta, alpha)
+        3: "beta\nalpha",  # loses everything -> drops out
+        4: "  \t\nepsilon",  # leading whitespace-only paragraph
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    got = (
+        q_paragraph_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # single-process recomputation
+    seen, kept = set(), {}
+    for d in sorted(docs):
+        for i, p in enumerate(docs[d].split("\n")):
+            if p.strip(" \t\r") and p not in seen:
+                seen.add(p)
+                kept.setdefault(d, []).append(p)
+    truth = {d: "\n".join(ps) for d, ps in kept.items()}
+    assert list(got["doc_id"]) == sorted(truth)  # doc 3 dropped
+    assert 3 not in set(got["doc_id"])
+    for r in got.itertuples(index=False):
+        assert r.text_dedup == truth[r.doc_id]
+        assert r.n_kept == len(kept[r.doc_id])
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(ORACLE_SQL["paragraph_dedup"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(oracle["doc_id"]) == list(got["doc_id"])
+    assert list(oracle["text_dedup"]) == list(got["text_dedup"])
+    assert list(oracle["n_kept"]) == list(got["n_kept"])
