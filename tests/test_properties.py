@@ -155,3 +155,155 @@ def test_bucketed_outer_join_matches_pandas_merge(ray_session, lk, rk, how):
     g, e = canon(got), canon(expected)
     for c in ("k", "lv", "rv"):
         assert np.allclose(g[c].to_numpy(), e[c].to_numpy(), equal_nan=True), c
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1 << 44),  # date_us: straddles 2^40 buckets
+            st.integers(0, 10**6),  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cumulative_revenue_matches_bruteforce(ray_session, rows):
+    """For arbitrary (date, price) multisets the distributed two-pass
+    prefix-scan must equal the single-process sorted cumsum — dates
+    land in random 2^40-us buckets, so the driver offset carry is
+    exercised across arbitrary bucket layouts (incl. gaps and
+    single-bucket degenerate cases)."""
+    import tempfile
+
+    import pandas as pd
+
+    from crawler_ray.pipelines.queries import q_cumulative_revenue
+
+    d = tempfile.mkdtemp(prefix="cumrev_")
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_orderdate": pd.to_datetime([r[0] for r in rows], unit="us"),
+            "o_totalprice": [r[1] / 100.0 for r in rows],
+        }
+    )
+    pdf.to_parquet(f"{d}/orders.parquet")
+
+    got = (
+        q_cumulative_revenue(d)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][0], i + 1))
+    cum, truth = 0, {}
+    for i in order:
+        cum += rows[i][1]
+        truth[i + 1] = cum
+    assert [truth[k] for k in got["o_orderkey"]] == list(got["cum_cents"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 4 * 3_600 * 1_000_000),  # ts us in a 4h span
+            st.integers(0, 10**4),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_user_time_window_sum_matches_bruteforce(ray_session, rows):
+    """For arbitrary event sets (few users, colliding timestamps) the
+    RANGE-frame sum must equal the O(n²) per-row frame sum — peers
+    (duplicate ts within a user) must all see the full peer total."""
+    import tempfile
+
+    import pandas as pd
+
+    from crawler_ray.pipelines.queries import (
+        TIME_WINDOW_US,
+        q_user_time_window_sum,
+    )
+
+    d = tempfile.mkdtemp(prefix="timewin_")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "value": [r[2] / 100.0 for r in rows],
+        }
+    )
+    pdf.to_parquet(f"{d}/events.parquet")
+
+    got = (
+        q_user_time_window_sum(d)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    truth = {
+        eid: sum(
+            c2
+            for (u2, t2, c2) in rows
+            if u2 == u and t - TIME_WINDOW_US <= t2 <= t
+        )
+        for eid, (u, t, _) in enumerate(rows, start=1)
+    }
+    assert [truth[e] for e in got["event_id"]] == list(got["window_cents"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab \t", max_size=3),  # tiny alphabet: dups likely
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_paragraph_dedup_matches_bruteforce(ray_session, docs):
+    """For arbitrary paragraph lists (blanks, within-doc and cross-doc
+    dups) the distributed first-occurrence dedup + reassembly must
+    equal the single-process scan in (doc_id, position) order; docs
+    losing every paragraph must vanish."""
+    import tempfile
+
+    import pandas as pd
+
+    from crawler_ray.pipelines.queries import q_paragraph_dedup
+
+    d = tempfile.mkdtemp(prefix="paradedup_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": ["\n".join(ps) for ps in docs],
+        }
+    )
+    pdf.to_parquet(f"{d}/documents.parquet")
+
+    raw = q_paragraph_dedup(d).to_pandas()
+    seen, truth = set(), {}
+    for did, ps in enumerate(docs, start=1):
+        kept = []
+        for p in ps:
+            if p.strip(" \t\r") and p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            truth[did] = "\n".join(kept)
+    if not truth:
+        # all-blank corpus: zero rows, like the SQL twin's GROUP BY
+        assert len(raw) == 0
+        return
+    got = raw.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == sorted(truth)
+    for r in got.itertuples(index=False):
+        assert r.text_dedup == truth[r.doc_id]
