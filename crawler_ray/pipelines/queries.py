@@ -1383,7 +1383,10 @@ def q_cumulative_revenue(sf_dir: str):
         cents = np.round(
             batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        date_us = batch["o_orderdate"].cast(pa.int64())
+        # us-normalize before the int64 cast: results are unit-invariant
+        # (ordering is), but the 2^40-us ≈ 12.7-day bucket-width contract
+        # isn't — a ns parquet would silently shrink buckets to ~18 min
+        date_us = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
         return pa.table(
             {
                 "okey": batch["o_orderkey"],
@@ -1448,7 +1451,13 @@ def q_orders_with_late_items(sf_dir: str):
         df = pa.table(
             {
                 "okey": batch["l_orderkey"],
-                "ship_us": batch["l_shipdate"].cast(pa.int64()),
+                # normalize to us BEFORE the int64 cast: a ns-unit
+                # parquet (pandas default) would otherwise compare
+                # nanoseconds against the microsecond LATE_SHIP_US
+                # constant and shrink the 30-day horizon ~1000×
+                "ship_us": batch["l_shipdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
             }
         ).to_pandas()
         g = df.groupby("okey", as_index=False).agg(ship_us=("ship_us", "max"))
@@ -1467,7 +1476,10 @@ def q_orders_with_late_items(sf_dir: str):
         lambda t: pa.table(
             {
                 "okey": t["o_orderkey"],
-                "odate_us": t["o_orderdate"].cast(pa.int64()),
+                # us-normalized like ship_us above (unit-safe int64)
+                "odate_us": t["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
                 "priority": t["o_orderpriority"],
             }
         ),
@@ -1488,6 +1500,10 @@ def q_orders_with_late_items(sf_dir: str):
         ),
     )
 
+    part_schema = pa.schema(
+        [("priority", pa.string()), ("order_count", pa.int64())]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         # the bucketed join's union promotes int64→float64 (null fill);
@@ -1495,10 +1511,15 @@ def q_orders_with_late_items(sf_dir: str):
         ship = df["ship_us"].astype(np.int64)
         odate = df["odate_us"].astype(np.int64)
         late = df[ship > odate + LATE_SHIP_US]
+        if late.empty:
+            # typed empty, never inferred: a join bucket with zero late
+            # orders would otherwise emit a null-typed priority block
+            # and break the single-schema stream invariant
+            return part_schema.empty_table()
         g = late.groupby("priority", as_index=False).agg(
             order_count=("priority", "size")
         )
-        return table_from_pandas(g)
+        return table_from_pandas(g).cast(part_schema)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -5317,6 +5338,43 @@ def q_props_value_stats(sf_dir: str):
     )
 
 
+# Paragraph-occurrence fan-out shared by the Dolma family
+# (q_dup_paragraph_ratio, q_paragraph_dedup): a paragraph's EVERY
+# occurrence lands in one hash partition.  The split ('\n'), the trim
+# set (' \t\r') and THIS partition count are semantics the SQL twins
+# of BOTH queries encode — change them here and in both oracles only.
+PARA_HASH_PARTITIONS = 256
+
+
+def _explode_paragraphs(batch: pa.Table, with_idx: bool) -> pa.Table:
+    """(doc_id, [idx,] para, pkey) occurrence rows for one batch.
+
+    Position ``idx`` counts BLANK paragraphs too (the SQL twins zip
+    ``range(len(split))`` before filtering), and blank = empty after
+    the exact SQL trim set."""
+    ids, idxs, paras = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for i, p in enumerate((t or "").split("\n")):
+            if p.strip(" \t\r"):  # exact twin of the SQL trim set
+                ids.append(d)
+                idxs.append(i)
+                paras.append(p)
+    if not paras:
+        cols = {"doc_id": pa.array([], type=pa.int64())}
+        if with_idx:
+            cols["idx"] = pa.array([], type=pa.int64())
+        cols["para"] = pa.array([], type=pa.string())
+        cols["pkey"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    out = pd.DataFrame({"doc_id": ids, "para": paras})
+    if with_idx:
+        out.insert(1, "idx", idxs)
+    out["pkey"] = hash_pkey(
+        out["para"].to_numpy(dtype=object), PARA_HASH_PARTITIONS
+    )
+    return table_from_pandas(out)
+
+
 def q_dup_paragraph_ratio(sf_dir: str):
     """Per-document duplicated-paragraph ratio (the Dolma/Gopher
     paragraph-dedup signal: what fraction of a doc's paragraphs also
@@ -5330,23 +5388,7 @@ def q_dup_paragraph_ratio(sf_dir: str):
     ds = _doc(sf_dir, ["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, paras = [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for p in (t or "").split("\n"):
-                if p.strip(" \t\r"):  # exact twin of the SQL trim set
-                    ids.append(d)
-                    paras.append(p)
-        if not paras:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "para": pa.array([], type=pa.string()),
-                    "pkey": pa.array([], type=pa.int64()),
-                }
-            )
-        out = pd.DataFrame({"doc_id": ids, "para": paras})
-        out["pkey"] = hash_pkey(out["para"].to_numpy(dtype=object), 256)
-        return table_from_pandas(out)
+        return _explode_paragraphs(batch, with_idx=False)
 
     def mark(g: pd.DataFrame) -> pa.Table:
         ndocs = g.groupby("para")["doc_id"].nunique()
@@ -5414,27 +5456,7 @@ def q_paragraph_dedup(sf_dir: str):
     ds = _doc(sf_dir, ["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, idxs, paras = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            # position indexes count BLANK paragraphs too (the SQL
-            # twin's range(len(split)) — filtering happens after)
-            for i, p in enumerate((t or "").split("\n")):
-                if p.strip(" \t\r"):  # exact twin of the SQL trim set
-                    ids.append(d)
-                    idxs.append(i)
-                    paras.append(p)
-        if not paras:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "idx": pa.array([], type=pa.int64()),
-                    "para": pa.array([], type=pa.string()),
-                    "pkey": pa.array([], type=pa.int64()),
-                }
-            )
-        out = pd.DataFrame({"doc_id": ids, "idx": idxs, "para": paras})
-        out["pkey"] = hash_pkey(out["para"].to_numpy(dtype=object), 256)
-        return table_from_pandas(out)
+        return _explode_paragraphs(batch, with_idx=True)
 
     def first_seen(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["para", "doc_id", "idx"]).drop_duplicates(

@@ -1604,3 +1604,85 @@ def test_paragraph_dedup_ground_truth(ray_session, tmp_path):
     assert list(oracle["doc_id"]) == list(got["doc_id"])
     assert list(oracle["text_dedup"]) == list(got["text_dedup"])
     assert list(oracle["n_kept"]) == list(got["n_kept"])
+
+
+def test_orders_with_late_items_ground_truth(ray_session, tmp_path):
+    """Q4-EXISTS cases the sf data can't isolate: the exactly-30-days
+    boundary (NOT late — strict >), a 30 d + 1 us ship (late), an
+    order with no lineitems (EXISTS false), and enough never-late
+    orders that some of the 16 join buckets carry ZERO late rows (the
+    typed-empty partial path).  Plus the fully-degenerate corpus (no
+    late orders anywhere) → zero rows.  Checked vs the DuckDB twin."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import (
+        LATE_SHIP_US,
+        ORACLE_SQL,
+        q_orders_with_late_items,
+    )
+
+    base = 1_000_000_000_000  # epoch us
+    orders, lines = [], []
+    # o1: boundary ship == odate + 30 d exactly -> NOT late
+    orders.append((1, base, "1-URGENT"))
+    lines.append((1, base + LATE_SHIP_US))
+    # o2: 30 d + 1 us -> late
+    orders.append((2, base, "1-URGENT"))
+    lines.append((2, base + LATE_SHIP_US + 1))
+    # o3: no lineitems at all -> EXISTS false
+    orders.append((3, base, "2-HIGH"))
+    # o4: several on-time items, one late -> late (max-reduce)
+    orders.append((4, base, "3-MEDIUM"))
+    lines += [(4, base + 10), (4, base + LATE_SHIP_US + 5), (4, base)]
+    # o5..o24: never late, spread over keys so several of the 16 join
+    # buckets hold only non-late orders (exercises the typed empty)
+    for k in range(5, 25):
+        orders.append((k, base, "4-NOT SPECIFIED"))
+        lines.append((k, base + k))
+
+    def write(dirpath, orders, lines):
+        od = pd.DataFrame(
+            orders, columns=["o_orderkey", "odate_us", "o_orderpriority"]
+        )
+        od["o_orderdate"] = pd.to_datetime(od.pop("odate_us"), unit="us")
+        od.to_parquet(f"{dirpath}/orders.parquet")
+        ld = pd.DataFrame(lines, columns=["l_orderkey", "ship_us"])
+        ld["l_shipdate"] = pd.to_datetime(ld.pop("ship_us"), unit="us")
+        ld.to_parquet(f"{dirpath}/lineitem.parquet")
+
+    write(tmp_path, orders, lines)
+    got = (
+        q_orders_with_late_items(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    # only o2 (1-URGENT) and o4 (3-MEDIUM) are late
+    assert list(got["o_orderpriority"]) == ["1-URGENT", "3-MEDIUM"]
+    assert list(got["order_count"]) == [1, 1]
+
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    oracle = (
+        con.execute(ORACLE_SQL["orders_with_late_items"])
+        .df()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert list(oracle["o_orderpriority"]) == list(got["o_orderpriority"])
+    assert list(oracle["order_count"]) == list(got["order_count"])
+
+    # fully degenerate: no late orders anywhere -> zero rows (the SQL
+    # twin returns zero rows too; schema of an empty stream is not
+    # part of the contract)
+    d2 = tmp_path / "nolate"
+    d2.mkdir()
+    write(d2, [(k, base, "2-HIGH") for k in range(1, 9)],
+          [(k, base + k) for k in range(1, 9)])
+    empty = q_orders_with_late_items(str(d2)).to_pandas()
+    assert len(empty) == 0
