@@ -5451,8 +5451,8 @@ def q_paragraph_dedup(sf_dir: str):
     occurrence lands in one partition, so first-seen is decided there
     with one vectorized sort + drop_duplicates; (2) survivors
     co-locate by doc-hash partition for the ordered reassembly.  Both
-    keys are BOUNDED hash partitions (256 / 64), never raw
-    paragraph/doc cardinality."""
+    keys are BOUNDED hash partitions (PARA_HASH_PARTITIONS /
+    PARA_DOC_PARTITIONS), never raw paragraph/doc cardinality."""
     ds = _doc(sf_dir, ["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
