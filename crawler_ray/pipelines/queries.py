@@ -5602,6 +5602,368 @@ def q_link_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [n]})
 
 
+# ----------------------------------------------------------------- 96
+RET_DATE_LO = "1996-01-01"
+RET_DATE_HI = "1996-04-01"
+RET_TOPK = 20
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: the RET_TOPK customers who generated the most
+    revenue from RETURNED items in one quarter.  lineitem (returnflag
+    pushed into the scan) ⋈ orders (date range pushed) on orderkey via
+    the sort-shuffle bucketed join; revenue is pre-projected to exact
+    integer milli-cents MAP-SIDE so the join ships two ints per row.
+
+    Top-k is the per-block-partial shape: after the distributed
+    per-customer sum, each block emits at most RET_TOPK rows, so the
+    driver merge holds ≤ k × blocks rows — never |customers| (which is
+    corpus-scale at 100 TB).  The k winners' names/balances/nations
+    are then fetched with a key-IN parquet read (k rows), not a join.
+    Ordering is deterministic under ties: (revenue desc, custkey asc),
+    mirrored in the SQL twin's ORDER BY."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    lo = np.datetime64(RET_DATE_LO, "us")
+    hi = np.datetime64(RET_DATE_HI, "us")
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"], type=pa.int64()),
+                "revenue_milli": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(li_project, batch_format="pyarrow")
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["l_orderkey", "custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    i64 = pa.int64()
+    joined = bucketed_hash_join(
+        li,
+        orders,
+        key="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", i64), ("revenue_milli", i64)]),
+        right_schema=pa.schema([("l_orderkey", i64), ("custkey", i64)]),
+    )
+
+    def partial_sum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("custkey", as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum")
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"], type=pa.int64()),
+                "revenue_milli": pa.array(g["revenue_milli"], type=pa.int64()),
+            }
+        )
+
+    def partial_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue_milli", "custkey"], ascending=[False, True]
+        ).head(RET_TOPK)
+        return table_from_pandas(df)
+
+    per_cust = (
+        joined.map_batches(partial_sum, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+        .map_batches(partial_head, batch_format="pyarrow")
+    )
+    # ≤ RET_TOPK × blocks rows by the partial-head invariant above
+    top = (
+        per_cust.to_pandas()
+        .sort_values(["revenue_milli", "custkey"], ascending=[False, True])
+        .head(RET_TOPK)
+        .reset_index(drop=True)
+    )
+
+    keys = [int(k) for k in top["custkey"]]
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)],
+    ).to_pandas()  # == RET_TOPK rows by construction
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()  # ≤ 25 rows by schema
+    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    cust["acctbal_cents"] = np.round(cust["c_acctbal"].to_numpy() * 100).astype(
+        np.int64
+    )
+    out = top.merge(
+        cust[["c_custkey", "c_name", "acctbal_cents", "n_name"]],
+        left_on="custkey",
+        right_on="c_custkey",
+    )
+    return out[["custkey", "c_name", "revenue_milli", "acctbal_cents", "n_name"]]
+
+
+# ----------------------------------------------------------------- 97
+PROMO_YEAR = 1997
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape, widened to a per-month series: the share of
+    revenue from PROMO-type parts for each ship-month of PROMO_YEAR.
+    lineitem ⋈ part on partkey — part is projected MAP-SIDE down to
+    (partkey, is_promo:int64) so the join ships a boolean-as-int, and
+    the join is the sort-shuffle bucketed hash join (both sides large
+    at 100 TB; no broadcast).  Revenue stays exact-integer milli-cents
+    end to end; the one double appears in the final share division on
+    the ≤ 12-row month table, bit-equal to the SQL twin's
+    CAST(...)/CAST(...)."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    lo = np.datetime64(f"{PROMO_YEAR}-01-01", "us")
+    hi = np.datetime64(f"{PROMO_YEAR + 1}-01-01", "us")
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        ship = df["l_shipdate"].astype("datetime64[us]")
+        month = (ship.dt.year * 100 + ship.dt.month).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pa.array(df["l_partkey"], type=pa.int64()),
+                "ship_month": pa.array(month, type=pa.int64()),
+                "revenue_milli": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    def part_project(batch: pa.Table) -> pa.Table:
+        is_promo = pc.cast(
+            pc.equal(batch["p_type"], pa.scalar("PROMO")), pa.int64()
+        )
+        return pa.table(
+            {
+                "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+                "is_promo": is_promo,
+            }
+        )
+
+    part = _read(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(part_project, batch_format="pyarrow")
+
+    i64 = pa.int64()
+    joined = bucketed_hash_join(
+        li,
+        part,
+        key="p_partkey",
+        left_schema=pa.schema(
+            [("p_partkey", i64), ("ship_month", i64), ("revenue_milli", i64)]
+        ),
+        right_schema=pa.schema([("p_partkey", i64), ("is_promo", i64)]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rev = df["revenue_milli"].to_numpy()
+        df["promo_milli"] = np.where(df["is_promo"].to_numpy() == 1, rev, 0)
+        g = df.groupby("ship_month", as_index=False).agg(
+            promo_milli=("promo_milli", "sum"), total_milli=("revenue_milli", "sum")
+        )
+        return pa.table(
+            {
+                "ship_month": pa.array(g["ship_month"], type=pa.int64()),
+                "promo_milli": pa.array(g["promo_milli"], type=pa.int64()),
+                "total_milli": pa.array(g["total_milli"], type=pa.int64()),
+            }
+        )
+
+    months = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .aggregate(
+            Sum("promo_milli", alias_name="promo_milli"),
+            Sum("total_milli", alias_name="total_milli"),
+        )
+        .to_pandas()  # ≤ 12 rows by the year filter
+    )
+    months["promo_share"] = months["promo_milli"].astype(np.float64) / months[
+        "total_milli"
+    ].astype(np.float64)
+    return months[["ship_month", "promo_milli", "total_milli", "promo_share"]]
+
+
+# ----------------------------------------------------------------- 98
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_SHIP_LO = "1996-01-01"
+Q7_SHIP_HI = "1998-01-01"
+
+
+def q_shipping_volume(sf_dir: str):
+    """TPC-H Q7 shape: yearly revenue shipped between two nations in
+    either direction (supplier in one, customer in the other).  The
+    nation dimension (≤ 25 rows by schema) resolves names driver-side;
+    supplier and customer scans are pruned to the two nations at the
+    parquet layer, so the join sides carry only the relevant fraction.
+    Chain: (orders ⋈ customer) on custkey, then lineitem ⋈ supplier on
+    suppkey, then the two on orderkey — all sort-shuffle bucketed
+    joins, revenue pre-projected to exact integer milli-cents and the
+    ship-year extracted MAP-SIDE so the widest join ships four ints."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()  # ≤ 25 rows
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"].astype(str)))
+    key_a = int(nat.loc[nat["n_name"] == Q7_NATION_A, "n_nationkey"].iloc[0])
+    key_b = int(nat.loc[nat["n_name"] == Q7_NATION_B, "n_nationkey"].iloc[0])
+    pair = [key_a, key_b]
+
+    lo = np.datetime64(Q7_SHIP_LO, "us")
+    hi = np.datetime64(Q7_SHIP_HI, "us")
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        year = df["l_shipdate"].astype("datetime64[us]").dt.year.astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"], type=pa.int64()),
+                "l_suppkey": pa.array(df["l_suppkey"], type=pa.int64()),
+                "l_year": pa.array(year, type=pa.int64()),
+                "revenue_milli": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(li_project, batch_format="pyarrow")
+    sup = _read(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(pair),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "supp_nation_key"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = _read(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(pair),
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "cust_nation_key"]),
+        batch_format="pyarrow",
+    )
+
+    i64 = pa.int64()
+    lis = bucketed_hash_join(
+        li,
+        sup,
+        key="l_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", i64),
+                ("l_suppkey", i64),
+                ("l_year", i64),
+                ("revenue_milli", i64),
+            ]
+        ),
+        right_schema=pa.schema([("l_suppkey", i64), ("supp_nation_key", i64)]),
+    ).map_batches(
+        lambda t: t.select(
+            ["l_orderkey", "l_year", "revenue_milli", "supp_nation_key"]
+        ),
+        batch_format="pyarrow",
+    )
+    oc = bucketed_hash_join(
+        orders,
+        cust,
+        key="o_custkey",
+        left_schema=pa.schema([("o_orderkey", i64), ("o_custkey", i64)]),
+        right_schema=pa.schema([("o_custkey", i64), ("cust_nation_key", i64)]),
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "cust_nation_key"]).rename_columns(
+            ["l_orderkey", "cust_nation_key"]
+        ),
+        batch_format="pyarrow",
+    )
+    full = bucketed_hash_join(
+        lis,
+        oc,
+        key="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", i64),
+                ("l_year", i64),
+                ("revenue_milli", i64),
+                ("supp_nation_key", i64),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", i64), ("cust_nation_key", i64)]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["supp_nation_key"] != df["cust_nation_key"]]
+        g = df.groupby(
+            ["supp_nation_key", "cust_nation_key", "l_year"], as_index=False
+        ).agg(revenue_milli=("revenue_milli", "sum"))
+        return pa.table(
+            {
+                "supp_nation_key": pa.array(g["supp_nation_key"], type=pa.int64()),
+                "cust_nation_key": pa.array(g["cust_nation_key"], type=pa.int64()),
+                "l_year": pa.array(g["l_year"], type=pa.int64()),
+                "revenue_milli": pa.array(g["revenue_milli"], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        full.map_batches(partial, batch_format="pyarrow")
+        .groupby(["supp_nation_key", "cust_nation_key", "l_year"])
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+        .to_pandas()  # ≤ 2 directions × years — bounded by construction
+    )
+    agg["supp_nation"] = agg["supp_nation_key"].map(nmap)
+    agg["cust_nation"] = agg["cust_nation_key"].map(nmap)
+    return agg[["supp_nation", "cust_nation", "l_year", "revenue_milli"]]
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -6355,6 +6717,57 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= "
         f"{DUP_COSINE_THRESHOLD} ORDER BY id_a, id_b"
     ),
+    "returned_revenue": (
+        "WITH rev AS (SELECT o.o_custkey AS custkey, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT)"
+        " AS revenue_milli "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_returnflag = 'R' "
+        f"AND o.o_orderdate >= TIMESTAMP '{RET_DATE_LO}' "
+        f"AND o.o_orderdate < TIMESTAMP '{RET_DATE_HI}' "
+        "GROUP BY o.o_custkey "
+        f"ORDER BY revenue_milli DESC, custkey LIMIT {RET_TOPK}) "
+        "SELECT r.custkey, c.c_name, r.revenue_milli, "
+        "CAST(ROUND(c.c_acctbal*100) AS BIGINT) AS acctbal_cents, n.n_name "
+        "FROM rev r JOIN customer c ON c.c_custkey = r.custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey"
+    ),
+    "promo_revenue": (
+        "WITH li AS (SELECT l_partkey, "
+        "CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ship_month, "
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS milli "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{PROMO_YEAR}-01-01' "
+        f"AND l_shipdate < TIMESTAMP '{PROMO_YEAR + 1}-01-01') "
+        "SELECT li.ship_month, "
+        "CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN li.milli ELSE 0 END)"
+        " AS BIGINT) AS promo_milli, "
+        "CAST(SUM(li.milli) AS BIGINT) AS total_milli, "
+        "CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN li.milli ELSE 0 END)"
+        " AS DOUBLE) / CAST(SUM(li.milli) AS DOUBLE) AS promo_share "
+        "FROM li JOIN part p ON p.p_partkey = li.l_partkey "
+        "GROUP BY li.ship_month"
+    ),
+    "shipping_volume": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT)"
+        " AS revenue_milli "
+        "FROM lineitem l "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+        "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+        f"WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}') "
+        f"OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')) "
+        f"AND l.l_shipdate >= TIMESTAMP '{Q7_SHIP_LO}' "
+        f"AND l.l_shipdate < TIMESTAMP '{Q7_SHIP_HI}' "
+        "GROUP BY 1, 2, 3"
+    ),
 }
 
 QUERIES = {
@@ -6450,6 +6863,9 @@ QUERIES = {
     "props_value_stats": q_props_value_stats,
     "dup_paragraph_ratio": q_dup_paragraph_ratio,
     "paragraph_dedup": q_paragraph_dedup,
+    "returned_revenue": q_returned_revenue,
+    "promo_revenue": q_promo_revenue,
+    "shipping_volume": q_shipping_volume,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
