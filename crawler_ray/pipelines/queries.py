@@ -5964,6 +5964,314 @@ def q_shipping_volume(sf_dir: str):
     return agg[["supp_nation", "cust_nation", "l_year", "revenue_milli"]]
 
 
+# ----------------------------------------------------------------- 99
+def q_customer_order_counts(sf_dir: str):
+    """TPC-H Q13 shape (count-of-counts): how many customers placed
+    exactly N orders, INCLUDING the zero-order bucket.  The classic
+    formulation is a customer LEFT JOIN orders; here the join is
+    eliminated entirely: per-custkey counts come from one map-side
+    partial combine + groupby over orders (each batch ships its
+    distinct custkeys, not its rows), the N-distribution is a second
+    tiny groupby (≤ max-orders-per-customer rows), and the zero bucket
+    is |customer| − Σ custdist — one count aggregate over the customer
+    scan, no shuffle of the customer table at all.  Valid because
+    o_custkey ⊆ c_custkey (FK), which the SQL twin's LEFT JOIN also
+    assumes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(n=("o_custkey", "size"))
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"], type=pa.int64()),
+                "n": pa.array(g["n"], type=pa.int64()),
+            }
+        )
+
+    per_cust = (
+        _read(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+    dist = (
+        per_cust.groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .to_pandas()  # ≤ max orders per customer rows — bounded
+    )
+    n_cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    zero = int(n_cust) - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    dist["c_count"] = dist["c_count"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    return dist.sort_values("c_count").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- 100
+Q22_NATIONS = (1, 3, 5, 7, 9)
+# "lapsed" cutoff: the classic Q22 NOT EXISTS(orders) is degenerate on
+# the synthetic tables (every customer has orders), so the anti-join
+# side is orders SINCE this date — same join shape, non-empty answer
+Q22_SINCE = "2001-01-01"
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers in a nation subset with
+    above-average positive balances who placed no order since
+    ``Q22_SINCE``, counted per nation.  The global average is a
+    two-int scalar (Sum+Count aggregate over the pruned customer scan
+    — exact integer cents, one double division driver-side); the
+    "no recent order" side is the bucketed ANTI-join where the orders
+    side is date-pruned at the parquet layer and ships only its key
+    column through the shuffle.  Final per-nation rollup is a map-side
+    partial combine + groupby (≤ |Q22_NATIONS| rows out)."""
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    nations = list(Q22_NATIONS)
+
+    def project(batch: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "cntrycode": pc.cast(batch["c_nationkey"], pa.int64()),
+                "bal_cents": bal,
+            }
+        )
+
+    sel = _read(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=pc.field("c_nationkey").isin(nations),
+    ).map_batches(project, batch_format="pyarrow")
+
+    pos = sel.filter(expr="bal_cents > 0")
+    stats = pos.aggregate(
+        Sum("bal_cents", alias_name="s"), Count(alias_name="n")
+    )  # two-int global scalar
+    avg_cents = float(stats["s"]) / float(stats["n"])
+
+    rich = sel.map_batches(
+        lambda t: t.filter(pc.greater(t["bal_cents"], pa.scalar(avg_cents))),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= np.datetime64(Q22_SINCE, "us"),
+    ).map_batches(
+        lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    i64 = pa.int64()
+    idle = bucketed_filter_join(
+        rich,
+        orders,
+        key="c_custkey",
+        mode="anti",
+        left_schema=pa.schema(
+            [("c_custkey", i64), ("cntrycode", i64), ("bal_cents", i64)]
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("cntrycode", as_index=False).agg(
+            numcust=("c_custkey", "size"), totacctbal_cents=("bal_cents", "sum")
+        )
+        return pa.table(
+            {
+                "cntrycode": pa.array(g["cntrycode"], type=pa.int64()),
+                "numcust": pa.array(g["numcust"], type=pa.int64()),
+                "totacctbal_cents": pa.array(
+                    g["totacctbal_cents"], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        idle.map_batches(partial, batch_format="pyarrow")
+        .groupby("cntrycode")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_cents", alias_name="totacctbal_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- 101
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the GLOBAL maximum.  Pass 1 reduces lineitem to per-supplier exact
+    integer revenue (map-side partial combine → groupby Sum),
+    materialized ONCE — its size is |distinct suppliers in the
+    quarter|, already reduced corpus-free; pass 2 is a Max aggregate
+    over that small table (a scalar) and an equality filter.  Winner
+    names resolve via a key-IN parquet read (≤ ties rows), never a
+    join.  Exact-integer revenue makes the argmax tie-set
+    deterministic across engines."""
+    import pyarrow.parquet as _pq
+
+    lo = np.datetime64(Q15_DATE_LO, "us")
+    hi = np.datetime64(Q15_DATE_HI, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["revenue_milli"] = cents * (100 - disc)
+        g = df.groupby("l_suppkey", as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum")
+        )
+        return pa.table(
+            {
+                "suppkey": pa.array(g["l_suppkey"], type=pa.int64()),
+                "revenue_milli": pa.array(g["revenue_milli"], type=pa.int64()),
+            }
+        )
+
+    per_supp = (
+        _read(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+        .materialize()  # |suppliers-in-quarter| rows, read twice below
+    )
+    best = int(per_supp.aggregate(Max("revenue_milli", alias_name="m"))["m"])
+    winners = per_supp.filter(expr=f"revenue_milli == {best}").to_pandas()
+    # ≤ tie-set rows by the equality filter
+    keys = [int(k) for k in winners["suppkey"]]
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", keys)],
+    ).to_pandas()
+    out = winners.merge(sup, left_on="suppkey", right_on="s_suppkey")
+    return out[["suppkey", "s_name", "revenue_milli"]]
+
+
+# ---------------------------------------------------------------- 102
+Q19_TIERS = (
+    ("Brand#1", 1, 15, 1, 11),
+    ("Brand#2", 1, 25, 10, 20),
+    ("Brand#3", 1, 35, 20, 30),
+)
+
+
+def q_brand_tier_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from lineitem ⋈ part under a
+    DISJUNCTION of (brand, size-range, quantity-range) tiers.  The
+    part side is pruned at the parquet layer to the three brands and
+    projected map-side to (partkey, brand, size) ints; lineitem is
+    pruned to the quantity hull [min_q, max_q] across tiers.  The
+    disjunct evaluation happens post-join as one vectorized numpy mask
+    (no per-row Python), reduced to a (n_items, revenue_milli) global
+    scalar pair — the aggregate ships two ints per block."""
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    brands = sorted({t[0] for t in Q19_TIERS})
+    qmin = min(t[3] for t in Q19_TIERS)
+    qmax = max(t[4] for t in Q19_TIERS)
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pa.array(df["l_partkey"], type=pa.int64()),
+                "qty": pa.array(
+                    np.round(df["l_quantity"].to_numpy()).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "revenue_milli": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_quantity") >= float(qmin))
+        & (pc.field("l_quantity") <= float(qmax)),
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    bidx = {b: i for i, b in enumerate(brands)}
+
+    def part_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "p_partkey": pa.array(df["p_partkey"], type=pa.int64()),
+                "brand_i": pa.array(
+                    df["p_brand"].map(bidx), type=pa.int64()
+                ),
+                "p_size": pa.array(df["p_size"], type=pa.int64()),
+            }
+        )
+
+    part = _read(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pc.field("p_brand").isin(brands),
+    ).map_batches(part_project, batch_format="pyarrow")
+
+    i64 = pa.int64()
+    joined = bucketed_hash_join(
+        li,
+        part,
+        key="p_partkey",
+        left_schema=pa.schema(
+            [("p_partkey", i64), ("qty", i64), ("revenue_milli", i64)]
+        ),
+        right_schema=pa.schema(
+            [("p_partkey", i64), ("brand_i", i64), ("p_size", i64)]
+        ),
+    )
+
+    tiers = [
+        (bidx[b], slo, shi, qlo, qhi) for b, slo, shi, qlo, qhi in Q19_TIERS
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bi = df["brand_i"].to_numpy()
+        sz = df["p_size"].to_numpy()
+        q = df["qty"].to_numpy()
+        mask = np.zeros(len(df), dtype=bool)
+        for tb, slo, shi, qlo, qhi in tiers:
+            mask |= (bi == tb) & (sz >= slo) & (sz <= shi) & (q >= qlo) & (q <= qhi)
+        rev = df["revenue_milli"].to_numpy()[mask]
+        return pa.table(
+            {
+                "n_items": pa.array([int(mask.sum())], type=pa.int64()),
+                "revenue_milli": pa.array([int(rev.sum())], type=pa.int64()),
+            }
+        )
+
+    tot = joined.map_batches(score, batch_format="pyarrow").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_milli", alias_name="revenue_milli"),
+    )
+    return pd.DataFrame(
+        {
+            "n_items": [np.int64(tot["n_items"] or 0)],
+            "revenue_milli": [np.int64(tot["revenue_milli"] or 0)],
+        }
+    )
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -6768,6 +7076,55 @@ ORACLE_SQL: dict[str, str] = {
         f"AND l.l_shipdate < TIMESTAMP '{Q7_SHIP_HI}' "
         "GROUP BY 1, 2, 3"
     ),
+    "customer_order_counts": (
+        "WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders GROUP BY o_custkey), "
+        "j AS (SELECT c.c_custkey, COALESCE(oc.n, 0) AS c_count "
+        "FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey) "
+        "SELECT CAST(c_count AS BIGINT) AS c_count, "
+        "CAST(COUNT(*) AS BIGINT) AS custdist FROM j GROUP BY c_count"
+    ),
+    "idle_rich_customers": (
+        "WITH sel AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT)"
+        " AS cntrycode, "
+        "CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer "
+        f"WHERE c_nationkey IN {Q22_NATIONS}), "
+        "a AS (SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) AS avg_bal "
+        "FROM sel WHERE bal_cents > 0) "
+        "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
+        "CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents "
+        "FROM sel, a WHERE bal_cents > avg_bal "
+        "AND NOT EXISTS (SELECT 1 FROM orders o"
+        " WHERE o.o_custkey = sel.c_custkey"
+        f" AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE}') "
+        "GROUP BY cntrycode"
+    ),
+    "top_supplier": (
+        "WITH r AS (SELECT l_suppkey AS suppkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)"
+        " AS revenue_milli "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}' "
+        f"AND l_shipdate < TIMESTAMP '{Q15_DATE_HI}' "
+        "GROUP BY l_suppkey) "
+        "SELECT r.suppkey, s.s_name, r.revenue_milli "
+        "FROM r JOIN supplier s ON s.s_suppkey = r.suppkey "
+        "WHERE r.revenue_milli = (SELECT MAX(revenue_milli) FROM r)"
+    ),
+    "brand_tier_revenue": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT))), 0) AS BIGINT)"
+        " AS revenue_milli "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE "
+        + " OR ".join(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+            f"AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN {qlo} AND {qhi})"
+            for b, slo, shi, qlo, qhi in Q19_TIERS
+        )
+    ),
 }
 
 QUERIES = {
@@ -6866,6 +7223,10 @@ QUERIES = {
     "returned_revenue": q_returned_revenue,
     "promo_revenue": q_promo_revenue,
     "shipping_volume": q_shipping_volume,
+    "customer_order_counts": q_customer_order_counts,
+    "idle_rich_customers": q_idle_rich_customers,
+    "top_supplier": q_top_supplier,
+    "brand_tier_revenue": q_brand_tier_revenue,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
