@@ -6272,6 +6272,443 @@ def q_brand_tier_revenue(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- 103
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-03-15"
+Q3_TOPK = 10
+# o_orderpriority values are a fixed 5-value enum; join legs carry the
+# leading digit as an int64 and the string is restored driver-side
+_PRIORITY_BY_DIGIT = {
+    1: "1-URGENT",
+    2: "2-HIGH",
+    3: "3-MEDIUM",
+    4: "4-NOT SPECIFIED",
+    5: "5-LOW",
+}
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): top-k unshipped orders by
+    revenue for one market segment.  The customer table never joins:
+    it reduces map-side to bare custkeys (segment pushed into the
+    scan) and prunes orders via the bucketed SEMI join — the shuffle
+    ships one key column for it.  Orders ⋈ lineitem is the bucketed
+    hash join on orderkey with every carried column pre-encoded int64
+    (orderdate → epoch days, priority → leading digit), revenue is
+    exact integer milli-cents, and orderdate/priority ride the
+    per-orderkey groupby as Max aggregates (constant per group — the
+    FK functional dependency the SQL twin's GROUP BY also leans on).
+    Top-k is per-block partial head, so the driver merge holds
+    ≤ k × blocks rows, never |orders|."""
+    from crawler_ray.stages.joins import bucketed_filter_join, bucketed_hash_join
+
+    cutoff = np.datetime64(Q3_DATE, "us")
+    i64 = pa.int64()
+
+    cust_keys = _read(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == Q3_SEGMENT,
+    ).map_batches(
+        lambda t: t.select(["c_custkey"]).rename_columns(["custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def orders_project(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(batch["o_orderdate"], pa.date32()), pa.int32())
+        prio = pc.cast(pc.utf8_slice_codeunits(batch["o_orderpriority"], 0, 1), i64)
+        return pa.table(
+            {
+                "custkey": pc.cast(batch["o_custkey"], i64),
+                "l_orderkey": pc.cast(batch["o_orderkey"], i64),
+                "odate_day": pc.cast(days, i64),
+                "prio": prio,
+            }
+        )
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cutoff,
+    ).map_batches(orders_project, batch_format="pyarrow")
+    orders = bucketed_filter_join(
+        orders,
+        cust_keys,
+        key="custkey",
+        mode="semi",
+        left_schema=pa.schema(
+            [("custkey", i64), ("l_orderkey", i64), ("odate_day", i64), ("prio", i64)]
+        ),
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "odate_day", "prio"]),
+        batch_format="pyarrow",
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(df["l_orderkey"], type=pa.int64()),
+                "revenue_milli": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cutoff,
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li,
+        orders,
+        key="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", i64), ("revenue_milli", i64)]),
+        right_schema=pa.schema(
+            [("l_orderkey", i64), ("odate_day", i64), ("prio", i64)]
+        ),
+    )
+
+    def partial_sum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum"),
+            odate_day=("odate_day", "max"),
+            prio=("prio", "max"),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"], type=pa.int64()),
+                "revenue_milli": pa.array(g["revenue_milli"], type=pa.int64()),
+                "odate_day": pa.array(g["odate_day"], type=pa.int64()),
+                "prio": pa.array(g["prio"], type=pa.int64()),
+            }
+        )
+
+    def partial_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue_milli", "l_orderkey"], ascending=[False, True]
+        ).head(Q3_TOPK)
+        return table_from_pandas(df)
+
+    per_order = (
+        joined.map_batches(partial_sum, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("revenue_milli", alias_name="revenue_milli"),
+            Max("odate_day", alias_name="odate_day"),
+            Max("prio", alias_name="prio"),
+        )
+        .map_batches(partial_head, batch_format="pyarrow")
+    )
+    # ≤ Q3_TOPK × blocks rows by the partial-head invariant above
+    top = (
+        per_order.to_pandas()
+        .sort_values(["revenue_milli", "l_orderkey"], ascending=[False, True])
+        .head(Q3_TOPK)
+        .reset_index(drop=True)
+    )
+    top["o_orderpriority"] = top["prio"].map(_PRIORITY_BY_DIGIT)
+    return top[["l_orderkey", "revenue_milli", "odate_day", "o_orderpriority"]]
+
+
+# ---------------------------------------------------------------- 104
+Q6_YEAR_LO = "1996-01-01"
+Q6_YEAR_HI = "1997-01-01"
+Q6_DISC_CENTS = (5, 6, 7)  # BETWEEN 0.05 AND 0.07 on an exact-cent grid
+Q6_MAX_QTY = 24
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    filter-and-reduce with EVERY predicate pushed to the parquet scan
+    (shipdate year, discount band, quantity cap) — only the two money
+    columns of the qualifying rows ever leave storage.  Revenue is
+    extendedprice × discount in exact integer milli-cents; the
+    aggregate ships a two-int partial per block.  The discount band is
+    matched on the exact-cent grid (discounts are cent-quantized in
+    the data), dodging the float BETWEEN boundary entirely."""
+    lo = np.datetime64(Q6_YEAR_LO, "us")
+    hi = np.datetime64(Q6_YEAR_HI, "us")
+    dlo = min(Q6_DISC_CENTS) / 100.0
+    dhi = max(Q6_DISC_CENTS) / 100.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        keep = np.isin(disc, list(Q6_DISC_CENTS))
+        rev = cents[keep] * disc[keep]
+        return pa.table(
+            {
+                "forecast_milli": pa.array([int(rev.sum())], type=pa.int64()),
+                "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    tot = (
+        _read(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+            filter=(pc.field("l_shipdate") >= lo)
+            & (pc.field("l_shipdate") < hi)
+            & (pc.field("l_discount") >= dlo - 0.005)
+            & (pc.field("l_discount") <= dhi + 0.005)
+            & (pc.field("l_quantity") < float(Q6_MAX_QTY)),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("forecast_milli", alias_name="forecast_milli"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "forecast_milli": [np.int64(tot["forecast_milli"] or 0)],
+            "n_items": [np.int64(tot["n_items"] or 0)],
+        }
+    )
+
+
+# ---------------------------------------------------------------- 105
+Q17_BRAND = "Brand#2"
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems whose quantity is below 20% of the per-part average, for
+    one brand.  The part table reduces to bare keys (brand pushed into
+    the scan) and prunes lineitem via the bucketed SEMI join.  The
+    correlated per-part average needs whole groups, so survivors
+    hash-partition on partkey into WINDOW_HASH_PARTITIONS buckets and
+    ONE vectorized pandas groupby per bucket evaluates the predicate —
+    rewritten to exact integers (qty < avg/5  ⇔  5·qty·cnt < totq,
+    quantities are integral in the data), so there is no float
+    boundary for engines to disagree on.  Each bucket emits a two-int
+    partial; output is the global (total_cents, n_small) pair plus
+    avg_yearly_cents = total/7 as one double division."""
+    from crawler_ray.stages.joins import bucketed_filter_join
+
+    i64 = pa.int64()
+    part_keys = _read(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        filter=pc.field("p_brand") == Q17_BRAND,
+    ).map_batches(
+        lambda t: t.select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "l_partkey": pa.array(df["l_partkey"], type=pa.int64()),
+                "qty": pa.array(
+                    np.round(df["l_quantity"].to_numpy()).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "cents": pa.array(
+                    np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_project, batch_format="pyarrow")
+    li = bucketed_filter_join(
+        li,
+        part_keys,
+        key="l_partkey",
+        mode="semi",
+        left_schema=pa.schema([("l_partkey", i64), ("qty", i64), ("cents", i64)]),
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pk = (
+            pd.util.hash_array(df["l_partkey"].to_numpy().astype(np.int64))
+            % np.uint64(WINDOW_HASH_PARTITIONS)
+        ).astype(np.int64)
+        return table_from_pandas(df.assign(pkey=pk))
+
+    def bucket_reduce(g: pd.DataFrame) -> pa.Table:
+        # one vectorized groupby per hash bucket — groups are whole
+        # here (pkey partitions by partkey), so the per-part average
+        # is exact
+        agg = g.groupby("l_partkey").agg(
+            cnt=("qty", "size"), totq=("qty", "sum")
+        )
+        cnt = agg["cnt"].reindex(g["l_partkey"]).to_numpy()
+        totq = agg["totq"].reindex(g["l_partkey"]).to_numpy()
+        small = 5 * g["qty"].to_numpy() * cnt < totq
+        return pa.table(
+            {
+                "total_cents": pa.array(
+                    [int(g["cents"].to_numpy()[small].sum())], type=pa.int64()
+                ),
+                "n_small": pa.array([int(small.sum())], type=pa.int64()),
+            }
+        )
+
+    tot = (
+        li.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(bucket_reduce, batch_format="pandas")
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_small", alias_name="n_small"),
+        )
+    )
+    total = np.int64(tot["total_cents"] or 0)
+    return pd.DataFrame(
+        {
+            "total_cents": [total],
+            "n_small": [np.int64(tot["n_small"] or 0)],
+            "avg_yearly_cents": [float(total) / 7.0],
+        }
+    )
+
+
+# ---------------------------------------------------------------- 106
+Q21_LATE_DAYS = 100  # "kept waiting": shipped >100 days after order
+Q21_TOPK = 10
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    who were the SOLE late shipper in a finished multi-supplier order.
+    The tables lack commit/receipt dates, so "late" is shipdate more
+    than Q21_LATE_DAYS after the order date (the repo's Q4 convention).
+    orders ships only (orderkey, epoch-day) through the bucketed hash
+    join; the per-order exists/not-exists pair (≥2 distinct suppliers,
+    exactly 1 distinct LATE supplier) needs whole orders, so joined
+    rows hash-partition on orderkey and ONE vectorized pandas
+    reduction per bucket finds the sole-late-supplier orders.  The
+    per-supplier count is a map-side partial combine → groupby Sum;
+    top-k via per-block partial heads and winner names by key-IN
+    parquet read — the driver never holds |suppliers|."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.stages.joins import bucketed_hash_join
+
+    i64 = pa.int64()
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(batch["l_shipdate"], pa.date32()), pa.int32())
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], i64),
+                "suppkey": pc.cast(batch["l_suppkey"], i64),
+                "ship_day": pc.cast(days, i64),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    def orders_project(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(batch["o_orderdate"], pa.date32()), pa.int32())
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["o_orderkey"], i64),
+                "odate_day": pc.cast(days, i64),
+            }
+        )
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        filter=pc.field("o_orderstatus") == "F",
+    ).map_batches(orders_project, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        li,
+        orders,
+        key="l_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", i64), ("suppkey", i64), ("ship_day", i64)]
+        ),
+        right_schema=pa.schema([("l_orderkey", i64), ("odate_day", i64)]),
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["late"] = (
+            df["ship_day"].to_numpy() - df["odate_day"].to_numpy() > Q21_LATE_DAYS
+        ).astype(np.int64)
+        pk = (
+            pd.util.hash_array(df["l_orderkey"].to_numpy().astype(np.int64))
+            % np.uint64(WINDOW_HASH_PARTITIONS)
+        ).astype(np.int64)
+        df = df[["l_orderkey", "suppkey", "late"]].assign(pkey=pk)
+        return table_from_pandas(df)
+
+    def sole_late(g: pd.DataFrame) -> pa.Table:
+        # whole orders per bucket (pkey partitions by orderkey): keep
+        # orders with ≥2 distinct suppliers and exactly 1 distinct
+        # late supplier, emit (suppkey, numwait-partial)
+        u = g[["l_orderkey", "suppkey", "late"]].drop_duplicates(
+            ["l_orderkey", "suppkey", "late"]
+        )
+        per = u.groupby("l_orderkey").agg(
+            ns=("suppkey", "nunique"),
+        )
+        late_u = u[u["late"] == 1]
+        nl = late_u.groupby("l_orderkey")["suppkey"].nunique()
+        per["nl"] = nl.reindex(per.index).fillna(0).astype(np.int64)
+        keep = per[(per["ns"] >= 2) & (per["nl"] == 1)].index
+        winners = late_u[late_u["l_orderkey"].isin(keep)]
+        out = winners.groupby("suppkey", as_index=False).agg(
+            numwait=("l_orderkey", "nunique")
+        )
+        return pa.table(
+            {
+                "suppkey": pa.array(out["suppkey"], type=pa.int64()),
+                "numwait": pa.array(out["numwait"], type=pa.int64()),
+            }
+        )
+
+    def partial_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["numwait", "suppkey"], ascending=[False, True]).head(
+            Q21_TOPK
+        )
+        return table_from_pandas(df)
+
+    per_supp = (
+        joined.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(sole_late, batch_format="pandas")
+        .groupby("suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .map_batches(partial_head, batch_format="pyarrow")
+    )
+    # ≤ Q21_TOPK × blocks rows by the partial-head invariant above
+    top = (
+        per_supp.to_pandas()
+        .sort_values(["numwait", "suppkey"], ascending=[False, True])
+        .head(Q21_TOPK)
+        .reset_index(drop=True)
+    )
+    keys = [int(k) for k in top["suppkey"]]
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", keys)],
+    ).to_pandas()  # == Q21_TOPK rows by construction
+    out = top.merge(sup, left_on="suppkey", right_on="s_suppkey")
+    return out[["suppkey", "s_name", "numwait"]]
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -7125,6 +7562,70 @@ ORACLE_SQL: dict[str, str] = {
             for b, slo, shi, qlo, qhi in Q19_TIERS
         )
     ),
+    "shipping_priority": (
+        "SELECT l_orderkey, revenue_milli, odate_day, o_orderpriority FROM ("
+        "SELECT l.l_orderkey, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT)"
+        " AS revenue_milli, "
+        "CAST(DATEDIFF('day', DATE '1970-01-01',"
+        " CAST(o.o_orderdate AS DATE)) AS BIGINT) AS odate_day, "
+        "o.o_orderpriority "
+        "FROM lineitem l "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        f"WHERE c.c_mktsegment = '{Q3_SEGMENT}' "
+        f"AND o.o_orderdate < TIMESTAMP '{Q3_DATE}' "
+        f"AND l.l_shipdate > TIMESTAMP '{Q3_DATE}' "
+        "GROUP BY 1, 3, 4) "
+        f"ORDER BY revenue_milli DESC, l_orderkey LIMIT {Q3_TOPK}"
+    ),
+    "forecast_revenue": (
+        "SELECT CAST(COALESCE(SUM("
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "CAST(ROUND(l_discount*100) AS BIGINT)), 0) AS BIGINT)"
+        " AS forecast_milli, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_LO}' "
+        f"AND l_shipdate < TIMESTAMP '{Q6_YEAR_HI}' "
+        f"AND CAST(ROUND(l_discount*100) AS BIGINT) IN {Q6_DISC_CENTS} "
+        f"AND l_quantity < {Q6_MAX_QTY}"
+    ),
+    "small_qty_revenue": (
+        "WITH li AS (SELECT l_partkey, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS qty, "
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem "
+        "WHERE l_partkey IN "
+        f"(SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}')), "
+        "g AS (SELECT l_partkey, COUNT(*) AS cnt, SUM(qty) AS totq "
+        "FROM li GROUP BY l_partkey) "
+        "SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_small, "
+        "CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 7.0 AS avg_yearly_cents "
+        "FROM li JOIN g ON g.l_partkey = li.l_partkey "
+        "WHERE 5 * li.qty * g.cnt < g.totq"
+    ),
+    "waiting_suppliers": (
+        "WITH j AS (SELECT l.l_orderkey, CAST(l.l_suppkey AS BIGINT)"
+        " AS suppkey, "
+        "CASE WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE), "
+        f"CAST(l.l_shipdate AS DATE)) > {Q21_LATE_DAYS} THEN 1 ELSE 0 END"
+        " AS late "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "WHERE o.o_orderstatus = 'F'), "
+        "g AS (SELECT l_orderkey, COUNT(DISTINCT suppkey) AS ns, "
+        "COUNT(DISTINCT CASE WHEN late = 1 THEN suppkey END) AS nl "
+        "FROM j GROUP BY l_orderkey), "
+        "w AS (SELECT DISTINCT j.l_orderkey, j.suppkey FROM j "
+        "JOIN g ON g.l_orderkey = j.l_orderkey "
+        "WHERE j.late = 1 AND g.ns >= 2 AND g.nl = 1), "
+        "t AS (SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS numwait "
+        "FROM w GROUP BY suppkey "
+        f"ORDER BY numwait DESC, suppkey LIMIT {Q21_TOPK}) "
+        "SELECT t.suppkey, s.s_name, t.numwait FROM t "
+        "JOIN supplier s ON s.s_suppkey = t.suppkey"
+    ),
 }
 
 QUERIES = {
@@ -7227,6 +7728,10 @@ QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "top_supplier": q_top_supplier,
     "brand_tier_revenue": q_brand_tier_revenue,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
