@@ -6709,6 +6709,216 @@ def q_waiting_suppliers(sf_dir: str):
     return out[["suppkey", "s_name", "numwait"]]
 
 
+# ---------------------------------------------------------------- 107
+Q8_TYPE = "STANDARD"  # part market under consideration
+Q8_REGION = 2  # customers' region (r_regionkey)
+Q8_NATION = 7  # supplier nation whose share is measured (in region 2)
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): the fraction of revenue
+    in one region's market for one part type supplied by one nation,
+    per order year.  Three chained bucketed hash joins, each leg
+    projected map-side to bare int64s before its shuffle: part prunes
+    lineitem via the SEMI join (type pushed into the scan); orders
+    (date range pushed) contributes (custkey, year); customer
+    contributes c_nationkey, mapped to an in-region flag through the
+    25-row nation→region dict (a Python constant per task, never a
+    shuffle) and filtered BEFORE the supplier join so out-of-market
+    rows exit early; supplier contributes an is-target-nation 0/1.
+    The final reduce ships (year, total_milli, nation_milli) int
+    partials; the share is one double division per year driver-side
+    (≤ 2 rows)."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.stages.joins import bucketed_filter_join, bucketed_hash_join
+
+    i64 = pa.int64()
+    lo = np.datetime64(Q8_DATE_LO, "us")
+    hi = np.datetime64(Q8_DATE_HI, "us")
+
+    part_keys = _read(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        filter=pc.field("p_type") == Q8_TYPE,
+    ).map_batches(
+        lambda t: t.select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(df["l_partkey"], type=pa.int64()),
+                "l_orderkey": pa.array(df["l_orderkey"], type=pa.int64()),
+                "suppkey": pa.array(df["l_suppkey"], type=pa.int64()),
+                "rev_milli": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_project, batch_format="pyarrow")
+    li = bucketed_filter_join(
+        li,
+        part_keys,
+        key="l_partkey",
+        mode="semi",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", i64),
+                ("l_orderkey", i64),
+                ("suppkey", i64),
+                ("rev_milli", i64),
+            ]
+        ),
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "suppkey", "rev_milli"]),
+        batch_format="pyarrow",
+    )
+
+    def orders_project(batch: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(batch["o_orderdate"]), i64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["o_orderkey"], i64),
+                "custkey": pc.cast(batch["o_custkey"], i64),
+                "o_year": yr,
+            }
+        )
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(orders_project, batch_format="pyarrow")
+
+    j1 = bucketed_hash_join(
+        li,
+        orders,
+        key="l_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", i64), ("suppkey", i64), ("rev_milli", i64)]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", i64), ("custkey", i64), ("o_year", i64)]
+        ),
+    ).map_batches(
+        lambda t: t.select(["suppkey", "rev_milli", "custkey", "o_year"]),
+        batch_format="pyarrow",
+    )
+
+    cust = _read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = bucketed_hash_join(
+        j1,
+        cust,
+        key="custkey",
+        left_schema=pa.schema(
+            [("custkey", i64), ("suppkey", i64), ("rev_milli", i64), ("o_year", i64)]
+        ),
+        right_schema=pa.schema([("custkey", i64), ("c_nationkey", i64)]),
+    )
+
+    # nation→region is a 25-row schema constant: a per-task dict, not a
+    # join (the SQL twin routes it through nation/region for parity)
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
+    in_region = frozenset(k for k, r in region_of.items() if r == Q8_REGION)
+
+    def region_filter(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = df["c_nationkey"].isin(in_region).to_numpy()
+        df = df.loc[keep, ["suppkey", "rev_milli", "o_year"]]
+        return pa.table(
+            {
+                "suppkey": pa.array(df["suppkey"], type=pa.int64()),
+                "rev_milli": pa.array(df["rev_milli"], type=pa.int64()),
+                "o_year": pa.array(df["o_year"], type=pa.int64()),
+            }
+        )
+
+    market = j2.map_batches(region_filter, batch_format="pyarrow")
+
+    supp = _read(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "is_target": pc.cast(
+                    pc.equal(t["s_nationkey"], pa.scalar(Q8_NATION)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j3 = bucketed_hash_join(
+        market,
+        supp,
+        key="suppkey",
+        left_schema=pa.schema(
+            [("suppkey", i64), ("rev_milli", i64), ("o_year", i64)]
+        ),
+        right_schema=pa.schema([("suppkey", i64), ("is_target", i64)]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["nation_milli"] = df["rev_milli"] * df["is_target"]
+        g = df.groupby("o_year", as_index=False).agg(
+            total_milli=("rev_milli", "sum"), nation_milli=("nation_milli", "sum")
+        )
+        return pa.table(
+            {
+                "o_year": pa.array(g["o_year"], type=pa.int64()),
+                "total_milli": pa.array(g["total_milli"], type=pa.int64()),
+                "nation_milli": pa.array(g["nation_milli"], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        j3.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("total_milli", alias_name="total_milli"),
+            Sum("nation_milli", alias_name="nation_milli"),
+        )
+        .to_pandas()  # ≤ |years in Q8 range| rows — bounded
+    )
+    agg = agg.sort_values("o_year").reset_index(drop=True)
+    agg["o_year"] = agg["o_year"].astype(np.int64)
+    agg["total_milli"] = agg["total_milli"].astype(np.int64)
+    agg["nation_milli"] = agg["nation_milli"].astype(np.int64)
+    agg["mkt_share"] = agg["nation_milli"].astype(float) / agg["total_milli"].astype(
+        float
+    )
+    return agg[["o_year", "total_milli", "nation_milli", "mkt_share"]]
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -7626,6 +7836,28 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT t.suppkey, s.s_name, t.numwait FROM t "
         "JOIN supplier s ON s.s_suppkey = t.suppkey"
     ),
+    "nation_market_share": (
+        "WITH m AS (SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l.l_discount*100) AS BIGINT)) AS rev_milli, "
+        f"CASE WHEN s.s_nationkey = {Q8_NATION} THEN 1 ELSE 0 END"
+        " AS is_target "
+        "FROM lineitem l "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "WHERE l.l_partkey IN "
+        f"(SELECT p_partkey FROM part WHERE p_type = '{Q8_TYPE}') "
+        f"AND n.n_regionkey = {Q8_REGION} "
+        f"AND o.o_orderdate >= TIMESTAMP '{Q8_DATE_LO}' "
+        f"AND o.o_orderdate < TIMESTAMP '{Q8_DATE_HI}') "
+        "SELECT o_year, CAST(SUM(rev_milli) AS BIGINT) AS total_milli, "
+        "CAST(SUM(rev_milli * is_target) AS BIGINT) AS nation_milli, "
+        "CAST(SUM(rev_milli * is_target) AS DOUBLE) / "
+        "CAST(SUM(rev_milli) AS DOUBLE) AS mkt_share "
+        "FROM m GROUP BY o_year"
+    ),
 }
 
 QUERIES = {
@@ -7732,6 +7964,7 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "small_qty_revenue": q_small_qty_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "nation_market_share": q_nation_market_share,
     # non-SQL-expressible (driver records rows-only checks)
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
