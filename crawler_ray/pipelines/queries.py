@@ -6043,16 +6043,31 @@ def q_idle_rich_customers(sf_dir: str):
             }
         )
 
-    sel = _read(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey", "c_acctbal"],
-        filter=pc.field("c_nationkey").isin(nations),
-    ).map_batches(project, batch_format="pyarrow")
+    sel = (
+        _read(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+            filter=pc.field("c_nationkey").isin(nations),
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()  # read twice below (stats + rich); Ray Data has
+        # no CSE, an unmaterialized shared subtree would scan the
+        # customer parquet twice
+    )
 
     pos = sel.filter(expr="bal_cents > 0")
     stats = pos.aggregate(
         Sum("bal_cents", alias_name="s"), Count(alias_name="n")
     )  # two-int global scalar
+    if not stats["n"]:  # no positive balance in the subset: the SQL
+        # twin returns 0 rows; mirror it instead of float(None)
+        return pd.DataFrame(
+            {
+                "cntrycode": pd.Series(dtype=np.int64),
+                "numcust": pd.Series(dtype=np.int64),
+                "totacctbal_cents": pd.Series(dtype=np.int64),
+            }
+        )
     avg_cents = float(stats["s"]) / float(stats["n"])
 
     rich = sel.map_batches(
@@ -6149,8 +6164,16 @@ def q_top_supplier(sf_dir: str):
         .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
         .materialize()  # |suppliers-in-quarter| rows, read twice below
     )
-    best = int(per_supp.aggregate(Max("revenue_milli", alias_name="m"))["m"])
-    winners = per_supp.filter(expr=f"revenue_milli == {best}").to_pandas()
+    best = per_supp.aggregate(Max("revenue_milli", alias_name="m"))["m"]
+    if best is None:  # empty quarter: the SQL twin returns 0 rows
+        return pd.DataFrame(
+            {
+                "suppkey": pd.Series(dtype=np.int64),
+                "s_name": pd.Series(dtype=object),
+                "revenue_milli": pd.Series(dtype=np.int64),
+            }
+        )
+    winners = per_supp.filter(expr=f"revenue_milli == {int(best)}").to_pandas()
     # ≤ tie-set rows by the equality filter
     keys = [int(k) for k in winners["suppkey"]]
     sup = _pq.read_table(
@@ -6532,10 +6555,7 @@ def q_small_qty_revenue(sf_dir: str):
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        pk = (
-            pd.util.hash_array(df["l_partkey"].to_numpy().astype(np.int64))
-            % np.uint64(WINDOW_HASH_PARTITIONS)
-        ).astype(np.int64)
+        pk = hash_pkey(df["l_partkey"].to_numpy(), WINDOW_HASH_PARTITIONS)
         return table_from_pandas(df.assign(pkey=pk))
 
     def bucket_reduce(g: pd.DataFrame) -> pa.Table:
@@ -6645,10 +6665,7 @@ def q_waiting_suppliers(sf_dir: str):
         df["late"] = (
             df["ship_day"].to_numpy() - df["odate_day"].to_numpy() > Q21_LATE_DAYS
         ).astype(np.int64)
-        pk = (
-            pd.util.hash_array(df["l_orderkey"].to_numpy().astype(np.int64))
-            % np.uint64(WINDOW_HASH_PARTITIONS)
-        ).astype(np.int64)
+        pk = hash_pkey(df["l_orderkey"].to_numpy(), WINDOW_HASH_PARTITIONS)
         df = df[["l_orderkey", "suppkey", "late"]].assign(pkey=pk)
         return table_from_pandas(df)
 

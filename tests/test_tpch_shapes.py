@@ -90,7 +90,8 @@ def test_idle_rich_strict_avg_and_antijoin(ray_session, tmp_path):
     n0, n1 = Q22_NATIONS[0], Q22_NATIONS[1]
     out_nation = 20
     assert out_nation not in Q22_NATIONS
-    # positives: 10, 15, 15, 20 -> avg 15.00; only 20 is strictly rich
+    # in-subset positive balances: 10, 20, 15, 15, 30 -> avg 18.00;
+    # strictly rich: 20 (kept) and 30 (anti-joined away below)
     cust = pd.DataFrame(
         {
             "c_custkey": np.arange(1, 7, dtype=np.int64),
@@ -122,10 +123,10 @@ def test_idle_rich_strict_avg_and_antijoin(ray_session, tmp_path):
 
     got = q_idle_rich_customers(str(tmp_path)).to_pandas()
     got = got.sort_values("cntrycode").reset_index(drop=True)
-    # avg = (10+20+15+15+30)/5 = 18: recompute — positives include c6's
-    # 30 even though it is later anti-joined (the average is over ALL
-    # positive balances in the nation subset, matching the SQL twin)
-    # avg 18.0 -> rich: c2 (20) and c6 (30); c6 removed by anti-join
+    # avg = (10+20+15+15+30)/5 = 18 — positives include c6's 30 even
+    # though it is later anti-joined (the average is over ALL positive
+    # balances in the nation subset, matching the SQL twin); rich:
+    # c2 (20) and c6 (30); c6 removed by the anti-join
     assert list(map(tuple, got[["cntrycode", "numcust"]].to_numpy())) == [
         (n0, 1)
     ]
@@ -174,6 +175,76 @@ def test_top_supplier_tie_returns_both(ray_session, tmp_path):
     assert list(got["suppkey"]) == [1, 2]
     assert set(got["s_name"]) == {"alpha", "beta"}
     assert (got["revenue_milli"] == 10000 * 95).all()
+
+
+def test_top_supplier_empty_quarter(ray_session, tmp_path):
+    """A quarter with no lineitems returns 0 rows (the SQL twin's
+    shape), not a TypeError from int(None)."""
+    from crawler_ray.pipelines.queries import Q15_DATE_HI, q_top_supplier
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.array([1], dtype=np.int64),
+            "l_partkey": np.array([1], dtype=np.int64),
+            "l_suppkey": np.array([1], dtype=np.int64),
+            "l_linenumber": np.array([1], dtype=np.int64),
+            "l_quantity": [1.0],
+            "l_extendedprice": [100.0],
+            "l_discount": [0.0],
+            "l_tax": [0.0],
+            "l_returnflag": ["N"],
+            "l_linestatus": ["O"],
+            "l_shipdate": [_ts(Q15_DATE_HI) + pd.Timedelta(days=30)],
+        }
+    )
+    sup = pd.DataFrame(
+        {
+            "s_suppkey": np.array([1], dtype=np.int64),
+            "s_name": ["alpha"],
+            "s_nationkey": np.zeros(1, dtype=np.int64),
+            "s_acctbal": np.zeros(1),
+        }
+    )
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "supplier", sup)
+
+    got = q_top_supplier(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["suppkey", "s_name", "revenue_milli"]
+
+
+def test_idle_rich_no_positive_balances(ray_session, tmp_path):
+    """A nation subset whose customers all have non-positive balances
+    returns 0 rows (the SQL twin's shape), not float(None)."""
+    from crawler_ray.pipelines.queries import Q22_NATIONS, q_idle_rich_customers
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.array([1, 2], dtype=np.int64),
+            "c_name": ["a", "b"],
+            "c_nationkey": np.array(
+                [Q22_NATIONS[0], Q22_NATIONS[1]], dtype=np.int64
+            ),
+            "c_acctbal": [-5.0, 0.0],
+            "c_mktsegment": ["BUILDING"] * 2,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([1], dtype=np.int64),
+            "o_custkey": np.array([1], dtype=np.int64),
+            "o_orderstatus": ["F"],
+            "o_totalprice": [1.0],
+            "o_orderdate": [_ts("1999-01-01")],
+            "o_orderpriority": ["1-URGENT"],
+        }
+    )
+    _write(tmp_path, "customer", cust)
+    _write(tmp_path, "orders", orders)
+
+    got = q_idle_rich_customers(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["cntrycode", "numcust", "totacctbal_cents"]
 
 
 def test_brand_tier_revenue_hand_truth(ray_session, tmp_path):
