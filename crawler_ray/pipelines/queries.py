@@ -6506,8 +6506,11 @@ def q_small_qty_revenue(sf_dir: str):
     one brand.  The part table reduces to bare keys (brand pushed into
     the scan) and prunes lineitem via the bucketed SEMI join.  The
     correlated per-part average needs whole groups, so survivors
-    hash-partition on partkey into WINDOW_HASH_PARTITIONS buckets and
-    ONE vectorized pandas groupby per bucket evaluates the predicate —
+    pre-reduce map-side onto the (partkey, qty) integer grid (exact —
+    quantities are integral; the shuffle ships ≤ |qty domain| rows per
+    part per batch, never raw lineitems), hash-partition on partkey
+    into WINDOW_HASH_PARTITIONS buckets, and ONE vectorized pandas
+    groupby per bucket evaluates the predicate —
     rewritten to exact integers (qty < avg/5  ⇔  5·qty·cnt < totq,
     quantities are integral in the data), so there is no float
     boundary for engines to disagree on.  Each bucket emits a two-int
@@ -6553,32 +6556,57 @@ def q_small_qty_revenue(sf_dir: str):
         left_schema=pa.schema([("l_partkey", i64), ("qty", i64), ("cents", i64)]),
     )
 
-    def add_pkey(batch: pa.Table) -> pa.Table:
+    def partial_by_qty(batch: pa.Table) -> pa.Table:
+        # map-side EXACT pre-reduction: quantities live on a small
+        # integer grid, so (partkey, qty) → (n, cents_sum) loses
+        # nothing and the shuffle ships ≤ |qty domain| rows per part
+        # per batch instead of raw lineitems
         df = batch.to_pandas()
-        pk = hash_pkey(df["l_partkey"].to_numpy(), WINDOW_HASH_PARTITIONS)
-        return table_from_pandas(df.assign(pkey=pk))
+        g = df.groupby(["l_partkey", "qty"], as_index=False).agg(
+            n=("qty", "size"), cents_sum=("cents", "sum")
+        )
+        pk = hash_pkey(g["l_partkey"].to_numpy(), WINDOW_HASH_PARTITIONS)
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"], type=pa.int64()),
+                "qty": pa.array(g["qty"], type=pa.int64()),
+                "n": pa.array(g["n"], type=pa.int64()),
+                "cents_sum": pa.array(g["cents_sum"], type=pa.int64()),
+                "pkey": pa.array(pk, type=pa.int64()),
+            }
+        )
 
     def bucket_reduce(g: pd.DataFrame) -> pa.Table:
-        # one vectorized groupby per hash bucket — groups are whole
-        # here (pkey partitions by partkey), so the per-part average
-        # is exact
-        agg = g.groupby("l_partkey").agg(
-            cnt=("qty", "size"), totq=("qty", "sum")
+        # one vectorized groupby per hash bucket — parts are whole
+        # here (pkey partitions by partkey; bucket sizing invariant
+        # documented at WINDOW_HASH_PARTITIONS), so the per-part
+        # average is exact.  Merge the (partkey, qty) partials first:
+        # cnt = Σn, totq = Σ qty·n — still exact integers
+        m = g.groupby(["l_partkey", "qty"], as_index=False).agg(
+            n=("n", "sum"), cents_sum=("cents_sum", "sum")
         )
-        cnt = agg["cnt"].reindex(g["l_partkey"]).to_numpy()
-        totq = agg["totq"].reindex(g["l_partkey"]).to_numpy()
-        small = 5 * g["qty"].to_numpy() * cnt < totq
+        per = (
+            m.assign(qn=m["qty"] * m["n"])
+            .groupby("l_partkey")
+            .agg(cnt=("n", "sum"), totq=("qn", "sum"))
+        )
+        cnt = per["cnt"].reindex(m["l_partkey"]).to_numpy()
+        totq = per["totq"].reindex(m["l_partkey"]).to_numpy()
+        small = 5 * m["qty"].to_numpy() * cnt < totq
         return pa.table(
             {
                 "total_cents": pa.array(
-                    [int(g["cents"].to_numpy()[small].sum())], type=pa.int64()
+                    [int(m["cents_sum"].to_numpy()[small].sum())],
+                    type=pa.int64(),
                 ),
-                "n_small": pa.array([int(small.sum())], type=pa.int64()),
+                "n_small": pa.array(
+                    [int(m["n"].to_numpy()[small].sum())], type=pa.int64()
+                ),
             }
         )
 
     tot = (
-        li.map_batches(add_pkey, batch_format="pyarrow")
+        li.map_batches(partial_by_qty, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(bucket_reduce, batch_format="pandas")
         .aggregate(
@@ -6609,7 +6637,9 @@ def q_waiting_suppliers(sf_dir: str):
     orders ships only (orderkey, epoch-day) through the bucketed hash
     join; the per-order exists/not-exists pair (≥2 distinct suppliers,
     exactly 1 distinct LATE supplier) needs whole orders, so joined
-    rows hash-partition on orderkey and ONE vectorized pandas
+    rows pre-reduce map-side to distinct (order, supplier, late)
+    triples (exact — per-line multiplicity never matters downstream),
+    hash-partition on orderkey, and ONE vectorized pandas
     reduction per bucket finds the sole-late-supplier orders.  The
     per-supplier count is a map-side partial combine → groupby Sum;
     top-k via per-block partial heads and winner names by key-IN
@@ -6665,9 +6695,14 @@ def q_waiting_suppliers(sf_dir: str):
         df["late"] = (
             df["ship_day"].to_numpy() - df["odate_day"].to_numpy() > Q21_LATE_DAYS
         ).astype(np.int64)
+        # map-side EXACT pre-reduction: sole_late only reads DISTINCT
+        # (order, supplier, late) triples, so per-line multiplicity is
+        # dropped before the shuffle (≤ 2 rows per (order, supplier)
+        # pair leave each batch; bucket sizing invariant documented at
+        # WINDOW_HASH_PARTITIONS)
+        df = df[["l_orderkey", "suppkey", "late"]].drop_duplicates()
         pk = hash_pkey(df["l_orderkey"].to_numpy(), WINDOW_HASH_PARTITIONS)
-        df = df[["l_orderkey", "suppkey", "late"]].assign(pkey=pk)
-        return table_from_pandas(df)
+        return table_from_pandas(df.assign(pkey=pk))
 
     def sole_late(g: pd.DataFrame) -> pa.Table:
         # whole orders per bucket (pkey partitions by orderkey): keep
