@@ -6971,6 +6971,93 @@ def q_nation_market_share(sf_dir: str):
     return agg[["o_year", "total_milli", "nation_milli", "mkt_share"]]
 
 
+# ---------------------------------------------------------------- 108
+def q_cdc_dup_chunks(sf_dir: str):
+    """Per-document duplicated-content ratio under CONTENT-DEFINED
+    chunking (FastCDC / gear rolling hash, Xia et al. 2016): what
+    fraction of a doc's CDC chunks also appear byte-identical in OTHER
+    documents.  Unlike the fixed-window ExactSubstr operator
+    (q_duplicate_substrings), CDC boundaries resynchronize after an
+    insertion/deletion, so shared passages are found even when their
+    byte offsets differ between docs — the storage-dedup property,
+    pinned by the resync test in tests/test_cdc.py.
+
+    Scale shape mirrors q_dup_paragraph_ratio: the gear hash is
+    evaluated VECTORIZED over each doc's bytes (64 shift-add numpy
+    passes, no per-byte Python — functions/cdc.py), chunk occurrences
+    co-locate by chunk-hash partition (ONE shuffle carrying md5 hex,
+    never chunk bytes), 'appears in ≥ 2 distinct docs' is one
+    vectorized nunique per partition, and per-doc (n_chunks, n_dup)
+    partials flow to a tiny grouped sum.  Not SQL-expressible (the
+    rolling-hash recurrence), so this is a rows-only entry backed by
+    the brute-force ground-truth test."""
+    from crawler_ray.functions.cdc import cdc_chunk_hashes
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for h in cdc_chunk_hashes(t or ""):
+                ids.append(d)
+                hashes.append(h)
+        if not hashes:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "chash": pa.array([], type=pa.string()),
+                    "pkey": pa.array([], type=pa.int64()),
+                }
+            )
+        out = pd.DataFrame({"doc_id": ids, "chash": hashes})
+        out["pkey"] = hash_pkey(
+            out["chash"].to_numpy(dtype=object), PARA_HASH_PARTITIONS
+        )
+        return table_from_pandas(out)
+
+    def mark(g: pd.DataFrame) -> pa.Table:
+        ndocs = g.groupby("chash")["doc_id"].nunique()
+        dup = g["chash"].map(ndocs).to_numpy() > 1
+        p = (
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"],
+                    "n_chunks": np.int64(1),
+                    "n_dup": dup.astype(np.int64),
+                }
+            )
+            .groupby("doc_id", as_index=False)
+            .agg(n_chunks=("n_chunks", "sum"), n_dup=("n_dup", "sum"))
+        )
+        return table_from_pandas(p)
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chunks": batch["n_chunks"].cast(pa.int64()),
+                "n_dup": batch["n_dup"].cast(pa.int64()),
+                "dup_ratio": pc.divide(
+                    batch["n_dup"].cast(pa.float64()),
+                    batch["n_chunks"].cast(pa.float64()),
+                ),
+            }
+        )
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -8018,6 +8105,7 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "nation_market_share": q_nation_market_share,
     # non-SQL-expressible (driver records rows-only checks)
+    "cdc_dup_chunks": q_cdc_dup_chunks,
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
     "kmeans_clusters": q_kmeans_clusters,
