@@ -7058,6 +7058,66 @@ def q_cdc_dup_chunks(sf_dir: str):
     return agg.map_batches(ratio, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- 109
+D4_QUOTA = 25  # per-cluster sample quota (D4 flattens cluster density)
+
+
+def q_d4_diverse_sample(sf_dir: str):
+    """D4-style cluster-diverse sampling (Tirumala et al. 2023, "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification" — public method): k-means the embedding space,
+    then draw a FIXED quota per cluster so dense regions stop
+    dominating the sample.  Clustering is the existing mergeable
+    kmeans_full (k×dim partials, no shuffle); within-cluster selection
+    is the D4_QUOTA smallest md5(vec_id) values — deterministic,
+    order-free, and engine-independent.  Selection uses the per-block
+    partial-head shape: each block emits ≤ quota rows per cluster it
+    sees, the per-cluster merge handles ≤ quota × blocks rows — never
+    a full cluster in one task (clusters are corpus/k at 100 TB).
+    Iterative + hash-ordered, so rows-only; ground truth recomputes
+    single-process in tests/test_d4_sample.py."""
+    from crawler_ray.stages.ann import kmeans_full
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    _, _, assigned = kmeans_full(ds, dim, k=KMEANS_K, iters=KMEANS_ITERS)
+
+    def partial_take(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["vec_id", "cluster"]]
+        df["h"] = [
+            hashlib.md5(str(int(v)).encode()).hexdigest() for v in df["vec_id"]
+        ]
+        df = (
+            df.sort_values(["cluster", "h", "vec_id"])
+            .groupby("cluster", sort=False)
+            .head(D4_QUOTA)
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(df["cluster"], type=pa.int64()),
+                "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+                "h": pa.array(df["h"], type=pa.string()),
+            }
+        )
+
+    def final_take(g: pd.DataFrame) -> pa.Table:
+        df = g.sort_values(["h", "vec_id"]).head(D4_QUOTA)
+        return pa.table(
+            {
+                "cluster": pa.array(df["cluster"], type=pa.int64()),
+                "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+            }
+        )
+
+    return (
+        assigned.map_batches(partial_take, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(final_take, batch_format="pandas")
+        # ≤ quota × blocks rows reach each cluster group by the
+        # partial-take invariant above
+    )
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -8106,6 +8166,7 @@ QUERIES = {
     "nation_market_share": q_nation_market_share,
     # non-SQL-expressible (driver records rows-only checks)
     "cdc_dup_chunks": q_cdc_dup_chunks,
+    "d4_diverse_sample": q_d4_diverse_sample,
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
     "kmeans_clusters": q_kmeans_clusters,
