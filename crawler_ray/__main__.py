@@ -47,13 +47,24 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    ray.init(
-        address="local",
-        num_cpus=args.num_cpus,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
+    if args.num_cpus <= 0:
+        # cluster mode (`ray job submit`): connect to the running
+        # cluster and let per-stage concurrency/num_cpus size the work
+        ray.init(
+            address="auto",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        args.num_cpus = int(ray.cluster_resources().get("CPU", 8))
+    else:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
     from crawler_ray.context import configure_default
 
     configure_default()
