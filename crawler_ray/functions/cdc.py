@@ -78,15 +78,13 @@ def cdc_boundaries(
     cand = np.nonzero((gear_hashes(arr) & mask) == 0)[0]
     ends: list[int] = []
     pos = 0
-    ci = 0
     while pos < n:
         lo, hi = pos + min_size, pos + max_size
         ci = int(np.searchsorted(cand, lo - 1))
-        cut = hi if hi < n else n
         if ci < len(cand) and cand[ci] + 1 <= hi:
-            cut = int(cand[ci]) + 1
-        elif hi >= n:
-            cut = n
+            cut = int(cand[ci]) + 1  # first in-window content match
+        else:
+            cut = min(hi, n)  # force-cut at the cap (or close the tail)
         ends.append(cut)
         pos = cut
     return ends

@@ -5375,60 +5375,68 @@ def _explode_paragraphs(batch: pa.Table, with_idx: bool) -> pa.Table:
     return table_from_pandas(out)
 
 
-def q_dup_paragraph_ratio(sf_dir: str):
-    """Per-document duplicated-paragraph ratio (the Dolma/Gopher
-    paragraph-dedup signal: what fraction of a doc's paragraphs also
-    appear in OTHER documents).  One shuffle total: paragraph
-    occurrences co-locate by paragraph-hash partition — a paragraph's
-    every occurrence lands in one partition, so 'appears in ≥ 2
-    distinct docs' is decided there with one vectorized nunique, and
-    per-doc (n_para, n_dup) partials flow to a tiny grouped sum.
-    Blank/whitespace paragraphs are excluded on both sides; the ratio
-    is one double division of exact counts."""
-    ds = _doc(sf_dir, ["doc_id", "text"])
-
-    def explode(batch: pa.Table) -> pa.Table:
-        return _explode_paragraphs(batch, with_idx=False)
+def _dup_unit_ratio(exploded, unit_col: str, n_col: str):
+    """Shared per-doc duplicated-unit pipeline (used by the paragraph
+    and CDC-chunk dedup signals): ``exploded`` holds (doc_id,
+    ``unit_col``, pkey) occurrence rows co-located by unit-hash
+    partition — a unit's every occurrence lands in one partition, so
+    'appears in ≥ 2 distinct docs' is decided there with one
+    vectorized nunique; per-doc (``n_col``, n_dup) partials flow to a
+    tiny grouped sum and the ratio is one double division of exact
+    counts."""
 
     def mark(g: pd.DataFrame) -> pa.Table:
-        ndocs = g.groupby("para")["doc_id"].nunique()
-        dup = g["para"].map(ndocs).to_numpy() > 1
+        ndocs = g.groupby(unit_col)["doc_id"].nunique()
+        dup = g[unit_col].map(ndocs).to_numpy() > 1
         out = pd.DataFrame(
             {
                 "doc_id": g["doc_id"],
-                "n_para": np.int64(1),
+                n_col: np.int64(1),
                 "n_dup": dup.astype(np.int64),
             }
         )
         p = out.groupby("doc_id", as_index=False).agg(
-            n_para=("n_para", "sum"), n_dup=("n_dup", "sum")
+            **{n_col: (n_col, "sum"), "n_dup": ("n_dup", "sum")}
         )
         return table_from_pandas(p)
 
     agg = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("pkey")
+        exploded.groupby("pkey")
         .map_groups(mark, batch_format="pandas")
         .groupby("doc_id")
-        .aggregate(
-            Sum("n_para", alias_name="n_para"), Sum("n_dup", alias_name="n_dup")
-        )
+        .aggregate(Sum(n_col, alias_name=n_col), Sum("n_dup", alias_name="n_dup"))
     )
 
     def ratio(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
-                "n_para": batch["n_para"].cast(pa.int64()),
+                n_col: batch[n_col].cast(pa.int64()),
                 "n_dup": batch["n_dup"].cast(pa.int64()),
                 "dup_ratio": pc.divide(
                     batch["n_dup"].cast(pa.float64()),
-                    batch["n_para"].cast(pa.float64()),
+                    batch[n_col].cast(pa.float64()),
                 ),
             }
         )
 
     return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def q_dup_paragraph_ratio(sf_dir: str):
+    """Per-document duplicated-paragraph ratio (the Dolma/Gopher
+    paragraph-dedup signal: what fraction of a doc's paragraphs also
+    appear in OTHER documents).  One shuffle total — the shared
+    :func:`_dup_unit_ratio` pipeline over the paragraph exploder.
+    Blank/whitespace paragraphs are excluded on both sides."""
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return _explode_paragraphs(batch, with_idx=False)
+
+    return _dup_unit_ratio(
+        ds.map_batches(explode, batch_format="pyarrow"), "para", "n_para"
+    )
 
 
 # reassembly-side partition fan-out for q_paragraph_dedup: survivors
@@ -6982,15 +6990,13 @@ def q_cdc_dup_chunks(sf_dir: str):
     byte offsets differ between docs — the storage-dedup property,
     pinned by the resync test in tests/test_cdc.py.
 
-    Scale shape mirrors q_dup_paragraph_ratio: the gear hash is
-    evaluated VECTORIZED over each doc's bytes (64 shift-add numpy
-    passes, no per-byte Python — functions/cdc.py), chunk occurrences
-    co-locate by chunk-hash partition (ONE shuffle carrying md5 hex,
-    never chunk bytes), 'appears in ≥ 2 distinct docs' is one
-    vectorized nunique per partition, and per-doc (n_chunks, n_dup)
-    partials flow to a tiny grouped sum.  Not SQL-expressible (the
-    rolling-hash recurrence), so this is a rows-only entry backed by
-    the brute-force ground-truth test."""
+    Scale shape: the gear hash is evaluated VECTORIZED over each
+    doc's bytes (64 shift-add numpy passes, no per-byte Python —
+    functions/cdc.py); dup marking and the per-doc ratio are the
+    shared :func:`_dup_unit_ratio` pipeline (ONE shuffle carrying md5
+    hex, never chunk bytes).  Not SQL-expressible (the rolling-hash
+    recurrence), so this is a rows-only entry backed by the
+    brute-force ground-truth test."""
     from crawler_ray.functions.cdc import cdc_chunk_hashes
 
     ds = _doc(sf_dir, ["doc_id", "text"])
@@ -7015,47 +7021,9 @@ def q_cdc_dup_chunks(sf_dir: str):
         )
         return table_from_pandas(out)
 
-    def mark(g: pd.DataFrame) -> pa.Table:
-        ndocs = g.groupby("chash")["doc_id"].nunique()
-        dup = g["chash"].map(ndocs).to_numpy() > 1
-        p = (
-            pd.DataFrame(
-                {
-                    "doc_id": g["doc_id"],
-                    "n_chunks": np.int64(1),
-                    "n_dup": dup.astype(np.int64),
-                }
-            )
-            .groupby("doc_id", as_index=False)
-            .agg(n_chunks=("n_chunks", "sum"), n_dup=("n_dup", "sum"))
-        )
-        return table_from_pandas(p)
-
-    agg = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(mark, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_chunks", alias_name="n_chunks"),
-            Sum("n_dup", alias_name="n_dup"),
-        )
+    return _dup_unit_ratio(
+        ds.map_batches(explode, batch_format="pyarrow"), "chash", "n_chunks"
     )
-
-    def ratio(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].cast(pa.int64()),
-                "n_chunks": batch["n_chunks"].cast(pa.int64()),
-                "n_dup": batch["n_dup"].cast(pa.int64()),
-                "dup_ratio": pc.divide(
-                    batch["n_dup"].cast(pa.float64()),
-                    batch["n_chunks"].cast(pa.float64()),
-                ),
-            }
-        )
-
-    return agg.map_batches(ratio, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- 109
@@ -7083,7 +7051,9 @@ def q_d4_diverse_sample(sf_dir: str):
     _, _, assigned = kmeans_full(ds, dim, k=KMEANS_K, iters=KMEANS_ITERS)
 
     def partial_take(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[["vec_id", "cluster"]]
+        # select BEFORE to_pandas: the embedding column must never
+        # materialize into Python lists on this corpus-wide map
+        df = batch.select(["vec_id", "cluster"]).to_pandas()
         df["h"] = [
             hashlib.md5(str(int(v)).encode()).hexdigest() for v in df["vec_id"]
         ]

@@ -121,6 +121,9 @@ def test_cdc_dup_chunks_vs_brute_force(ray_session, tmp_path):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    # every doc must be present — a silently-dropped doc would
+    # otherwise shrink the loop below and still pass
+    assert set(got["doc_id"].astype(int)) == set(per_doc)
     for _, r in got.iterrows():
         nc, nd = per_doc[int(r["doc_id"])]
         assert int(r["n_chunks"]) == nc
