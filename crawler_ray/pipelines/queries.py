@@ -7049,6 +7049,14 @@ def q_d4_diverse_sample(sf_dir: str):
     ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
     _, _, assigned = kmeans_full(ds, dim, k=KMEANS_K, iters=KMEANS_ITERS)
+    return _cluster_quota_take(assigned, D4_QUOTA)
+
+
+def _cluster_quota_take(assigned, quota: int):
+    """Fixed per-cluster quota in md5(vec_id) order over a Dataset
+    carrying (vec_id, cluster, …) — the per-block partial-head shape:
+    each block emits ≤ quota rows per cluster it sees, the per-cluster
+    merge handles ≤ quota × blocks rows, never a full cluster."""
 
     def partial_take(batch: pa.Table) -> pa.Table:
         # select BEFORE to_pandas: the embedding column must never
@@ -7060,7 +7068,7 @@ def q_d4_diverse_sample(sf_dir: str):
         df = (
             df.sort_values(["cluster", "h", "vec_id"])
             .groupby("cluster", sort=False)
-            .head(D4_QUOTA)
+            .head(quota)
         )
         return pa.table(
             {
@@ -7071,7 +7079,7 @@ def q_d4_diverse_sample(sf_dir: str):
         )
 
     def final_take(g: pd.DataFrame) -> pa.Table:
-        df = g.sort_values(["h", "vec_id"]).head(D4_QUOTA)
+        df = g.sort_values(["h", "vec_id"]).head(quota)
         return pa.table(
             {
                 "cluster": pa.array(df["cluster"], type=pa.int64()),
@@ -7086,6 +7094,32 @@ def q_d4_diverse_sample(sf_dir: str):
         # ≤ quota × blocks rows reach each cluster group by the
         # partial-take invariant above
     )
+
+
+# ---------------------------------------------------------------- 110
+def q_d4_pipeline(sf_dir: str):
+    """The FULL D4 method (Tirumala et al. 2023): SemDeDup first
+    (within-cluster greedy cosine dedup removes near-duplicates), then
+    cluster-diverse quota sampling over the SURVIVORS — reusing the
+    SAME k-means assignment for both phases, exactly as the paper
+    composes them (one clustering pays for dedup and diversification).
+    The dedup stage is the existing semantic_dedup (O(c²) in-cluster
+    contract with the max_cluster_size raise); the sampling stage is
+    the shared :func:`_cluster_quota_take` partial-head shape.
+    Iterative + float cosines → rows-only; ground truth composes the
+    two stages' own single-process recomputes in
+    tests/test_d4_sample.py."""
+    from crawler_ray.stages.ann import semantic_dedup
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    dedup = semantic_dedup(
+        ds, dim=dim, k=KMEANS_K, threshold=DUP_COSINE_THRESHOLD, iters=KMEANS_ITERS
+    )
+    survivors = dedup.filter(expr="kept == True").map_batches(
+        lambda t: t.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    )
+    return _cluster_quota_take(survivors, D4_QUOTA)
 
 
 # ------------------------------------------------------------- oracle
@@ -8137,6 +8171,7 @@ QUERIES = {
     # non-SQL-expressible (driver records rows-only checks)
     "cdc_dup_chunks": q_cdc_dup_chunks,
     "d4_diverse_sample": q_d4_diverse_sample,
+    "d4_pipeline": q_d4_pipeline,
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
     "kmeans_clusters": q_kmeans_clusters,

@@ -71,3 +71,45 @@ def test_d4_sample_vs_single_process(ray_session, tmp_path):
     # cluster's worth despite being 20% of the corpus
     n_sparse = int((got["vec_id"] >= 400).sum())
     assert n_sparse >= D4_QUOTA
+
+
+def test_d4_pipeline_composes_dedup_then_quota(ray_session, tmp_path):
+    """The full D4 pipeline equals: SemDeDup survivors (the engine's
+    own oracle-tested q_semantic_dedup output) → per-cluster quota in
+    md5 order — i.e. a dropped near-duplicate can never appear in the
+    sample, and the sample equals the quota-take recomputed
+    single-process over exactly the survivor set."""
+    import hashlib
+
+    from crawler_ray.pipelines.queries import (
+        D4_QUOTA,
+        q_d4_pipeline,
+        q_semantic_dedup,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(0, 1, size=(60, 8))
+    # 30 near-duplicates of the first 30 vectors (tiny perturbation →
+    # cosine ≈ 1 within a cluster) + 10 lone outliers
+    vecs = np.vstack(
+        [base, base[:30] + rng.normal(0, 1e-4, size=(30, 8))]
+    ).astype(np.float32)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+
+    dedup = q_semantic_dedup(str(tmp_path))
+    survivors = dedup[dedup["kept"]]
+    assert len(survivors) < len(pdf), "fixture must actually dedup"
+
+    truth = set()
+    sv = survivors.assign(
+        h=[hashlib.md5(str(int(v)).encode()).hexdigest() for v in survivors["vec_id"]]
+    )
+    for _, g in sv.groupby("cluster"):
+        truth |= set(g.sort_values(["h", "vec_id"]).head(D4_QUOTA)["vec_id"])
+
+    got = q_d4_pipeline(str(tmp_path)).to_pandas()
+    assert set(got["vec_id"].astype(int)) == truth
+    dropped = set(dedup[~dedup["kept"]]["vec_id"])
+    assert not (set(got["vec_id"].astype(int)) & dropped)
