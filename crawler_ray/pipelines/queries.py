@@ -7122,6 +7122,44 @@ def q_d4_pipeline(sf_dir: str):
     return _cluster_quota_take(survivors, D4_QUOTA)
 
 
+# ---------------------------------------------------------------- 111
+def q_compression_ratio(sf_dir: str):
+    """Per-document DEFLATE compression ratio (compressed/raw bytes at
+    zlib level 6) — the low-entropy/repetitiveness quality signal the
+    Gopher and FineWeb pipeline families apply (highly repetitive or
+    template text compresses far below natural prose, near-random text
+    barely compresses).  A pure map: no shuffle, no state, zlib is
+    byte-deterministic across platforms for a fixed level so the
+    output is stable.  Not SQL-expressible (no DEFLATE in SQL) →
+    rows-only, with an exact single-process recompute in
+    tests/test_ground_truth.py."""
+    import zlib
+
+    ds = _doc(sf_dir, ["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        raw, comp = [], []
+        for t in batch["text"].to_pylist():
+            b = (t or "").encode("utf-8", errors="replace")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, 6)))
+        raw_a = np.array(raw, dtype=np.int64)
+        comp_a = np.array(comp, dtype=np.int64)
+        # empty docs: ratio 1.0 by convention (nothing to compress)
+        r = np.where(raw_a > 0, comp_a / np.maximum(raw_a, 1), 1.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "raw_bytes": pa.array(raw_a, type=pa.int64()),
+                "compressed_bytes": pa.array(comp_a, type=pa.int64()),
+                "compression_ratio": pa.array(r, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- oracle
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -8172,6 +8210,7 @@ QUERIES = {
     "cdc_dup_chunks": q_cdc_dup_chunks,
     "d4_diverse_sample": q_d4_diverse_sample,
     "d4_pipeline": q_d4_pipeline,
+    "compression_ratio": q_compression_ratio,
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
     "kmeans_clusters": q_kmeans_clusters,

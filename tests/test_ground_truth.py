@@ -1686,3 +1686,43 @@ def test_orders_with_late_items_ground_truth(ray_session, tmp_path):
           [(k, base + k) for k in range(1, 9)])
     empty = q_orders_with_late_items(str(d2)).to_pandas()
     assert len(empty) == 0
+
+
+def test_compression_ratio_exact(ray_session, tmp_path):
+    """zlib is byte-deterministic at a fixed level: the engine's
+    per-doc DEFLATE ratio must equal a direct recompute, a repetitive
+    doc must compress far below a high-entropy one, and the empty doc
+    takes the documented 1.0 convention."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.pipelines.queries import q_compression_ratio
+
+    rng = np.random.RandomState(9)
+    docs = [
+        "spam " * 400,                       # highly repetitive
+        "".join(chr(c) for c in rng.randint(33, 127, 2000)),  # high entropy
+        "",                                   # empty -> ratio 1.0
+        "a normal short sentence.",
+    ]
+    pdf = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": docs})
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    got = (
+        q_compression_ratio(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    for i, t in enumerate(docs):
+        b = t.encode("utf-8")
+        assert int(got.loc[i, "raw_bytes"]) == len(b)
+        assert int(got.loc[i, "compressed_bytes"]) == len(zlib.compress(b, 6))
+        expect = len(zlib.compress(b, 6)) / len(b) if b else 1.0
+        assert got.loc[i, "compression_ratio"] == expect
+    # the quality-signal ordering the filter relies on
+    assert got.loc[0, "compression_ratio"] < 0.1
+    assert got.loc[1, "compression_ratio"] > 0.7
